@@ -1,0 +1,122 @@
+"""SQP-RTI orchestration: the TPU-native `acados_solve()`.
+
+Reproduces the real-time-iteration semantics of the reference solver
+(nlp_solver_type="SQP_RTI" + GAUSS_NEWTON + ERK, reference
+scripts/usv_guidance_ca1/acados_settings.py:190-194): each call performs
+exactly ONE Gauss-Newton linearization at the warm-started trajectory, one
+QP solve, and one full-step primal update.  The warm start — acados keeps
+its primal iterate in solver memory between ticks (SURVEY.md section 5,
+checkpoint/resume) — becomes an explicit, device-resident, functionally
+threaded `SolverState`, so it vmaps/shards along a scenario batch axis and
+doubles as the checkpointable state for long sweeps.
+
+Also provides `solve_converged`, a multi-iteration SQP loop (the reference's
+commented-out nlp_solver_type="SQP" alternative) for oracle tests.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_collisionavoidance_tpu.ocp.spec import OCPSpec
+from mpc_collisionavoidance_tpu.ops import linearize
+from mpc_collisionavoidance_tpu.ops.ipm import ipm_solve
+
+
+class SolverState(NamedTuple):
+    """Warm-start state carried across control ticks (per instance)."""
+
+    xbar: jnp.ndarray  # (N+1, nx)
+    ubar: jnp.ndarray  # (N, nu)
+
+
+class SolverOutput(NamedTuple):
+    u0: jnp.ndarray       # (nu,) stage-0 optimal input
+    x1: jnp.ndarray       # (nx,) stage-1 predicted state (command source in
+                          #       the reference, src/nmpc_guidance_ca1.cpp:586)
+    xtraj: jnp.ndarray    # (N+1, nx) full predicted trajectory
+    utraj: jnp.ndarray    # (N, nu)
+    qp_gap: jnp.ndarray   # IPM complementarity at exit
+    status: jnp.ndarray   # 0 ok / 1 qp not converged / 2 NaN
+
+
+class RTISolver:
+    """Factory for jitted RTI step functions specialized to one OCPSpec.
+
+    Typical use::
+
+        solver = RTISolver(spec)
+        state = solver.init_state(x0)
+        state, out = solver.step(state, x0, params, lh)       # one tick
+        batch_step = jax.vmap(solver.step_fn)                  # batched
+    """
+
+    def __init__(self, spec: OCPSpec, ipm_iters: int = 18,
+                 ipm_tol: float = 1e-7):
+        self.spec = spec
+        self.layout = linearize.make_row_layout(spec)
+        self.ipm_iters = ipm_iters
+        self.ipm_tol = ipm_tol
+
+    # ---- state management ----
+    def init_state(self, x0, dtype=jnp.float32) -> SolverState:
+        """acados-style initialization: every stage state = x0, controls = 0
+        (AcadosOcpSolver initializes its iterate from constraints.x0)."""
+        x0 = jnp.asarray(x0, dtype)
+        N = self.spec.N
+        return SolverState(
+            xbar=jnp.broadcast_to(x0, (N + 1,) + x0.shape),
+            ubar=jnp.zeros((N, self.spec.model.nu), dtype),
+        )
+
+    # ---- single RTI step (pure function; jit/vmap-able) ----
+    def step_fn(self, state: SolverState, x0, params, lh=None,
+                yref=None, yref_e=None):
+        spec, layout = self.spec, self.layout
+        dtype = state.xbar.dtype
+        N = spec.N
+        ny = spec.cost.ny
+        if yref is None:
+            yref = jnp.broadcast_to(jnp.asarray(spec.cost.yref, dtype), (N, ny))
+        if yref_e is None:
+            yref_e = jnp.asarray(spec.cost.yref_e, dtype)
+        x0 = jnp.asarray(x0, dtype)
+        params = jnp.asarray(params, dtype)
+
+        qp = linearize.build_qp(spec, layout, state.xbar, state.ubar,
+                                x0, yref, yref_e, params, lh)
+        sol = ipm_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
+
+        # full RTI primal step (acados SQP_RTI takes the unit step)
+        xbar = state.xbar + sol.dx
+        ubar = state.ubar + sol.du
+        new_state = SolverState(xbar=xbar, ubar=ubar)
+        out = SolverOutput(u0=ubar[0], x1=xbar[1], xtraj=xbar, utraj=ubar,
+                           qp_gap=sol.gap, status=sol.status)
+        return new_state, out
+
+    def step(self, state, x0, params, lh=None, yref=None, yref_e=None):
+        """Jitted convenience wrapper around `step_fn`."""
+        return self._jitted_step(state, x0, params, lh, yref, yref_e)
+
+    @property
+    def _jitted_step(self):
+        if not hasattr(self, "_cached_jit"):
+            self._cached_jit = jax.jit(self.step_fn)
+        return self._cached_jit
+
+    # ---- converged SQP (oracle / non-realtime mode) ----
+    def solve_converged(self, state: SolverState, x0, params, lh=None,
+                        yref=None, yref_e=None, sqp_iters: int = 30):
+        """Run `sqp_iters` full SQP iterations (re-linearize each time)."""
+
+        def body(st, _):
+            st, out = self.step_fn(st, x0, params, lh, yref, yref_e)
+            return st, out
+
+        state, outs = jax.lax.scan(body, state, None, length=sqp_iters)
+        last = jax.tree.map(lambda a: a[-1], outs)
+        return state, last

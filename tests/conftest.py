@@ -1,0 +1,25 @@
+"""Test configuration: force all test compute onto the host CPU (8 virtual
+devices) in float64, so numerical oracles are tight and multi-chip sharding
+logic is exercised without TPU hardware (SURVEY.md section 4 test strategy).
+
+Note: this machine preloads jax via sitecustomize (axon TPU tunnel), so env
+vars set here are too late for jax's config — but XLA backends initialize
+lazily, so setting XLA_FLAGS + the programmatic default-device config before
+any backend is touched still works.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices(n=8):
+    return jax.devices("cpu")[:n]
