@@ -129,6 +129,11 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
     tsu = jnp.maximum(su - qp.ush, t_min)
     lg, ll, lu, lsl, lsu = (mu0 / t for t in (tg, tl, tu, tsl, tsu))
 
+    # Once the duality measure reaches this floor the iterate is frozen:
+    # pushing an IPM past ~sqrt(eps) of the dtype makes lambda/t ratios
+    # overflow for active rows and poisons the solution with NaNs.
+    gap_floor = jnp.asarray(1e-13 if dtype == jnp.float64 else 3e-7, dtype)
+
     def body(carry, _):
         dx, du, sl, su, tg, tl, tu, tsl, tsu, lg, ll, lu, lsl, lsu = carry
 
@@ -211,12 +216,21 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
         )
         alpha = jnp.minimum(1.0, tau * alpha_max).astype(dtype)
 
-        new = (dx + alpha * Ddx, du + alpha * Ddu,
-               sl + alpha * Dsl, su + alpha * Dsu,
-               tg + alpha * Dtg, tl + alpha * Dtl, tu + alpha * Dtu,
-               tsl + alpha * Dtsl, tsu + alpha * Dtsu,
-               lg + alpha * Dlg, ll + alpha * Dll, lu + alpha * Dlu,
-               lsl + alpha * Dlsl, lsu + alpha * Dlsu)
+        # freeze the iterate once converged (see gap_floor note above); a
+        # NaN-poisoned step is also rejected so earlier progress survives
+        step_ok = jnp.isfinite(alpha) & jnp.all(jnp.isfinite(Ddx)) \
+            & jnp.all(jnp.isfinite(Ddu))
+        keep = (gap <= gap_floor) | ~step_ok
+
+        def upd(old, delta):
+            return jnp.where(keep, old, old + alpha * delta)
+
+        new = (upd(dx, Ddx), upd(du, Ddu),
+               upd(sl, Dsl), upd(su, Dsu),
+               upd(tg, Dtg), upd(tl, Dtl), upd(tu, Dtu),
+               upd(tsl, Dtsl), upd(tsu, Dtsu),
+               upd(lg, Dlg), upd(ll, Dll), upd(lu, Dlu),
+               upd(lsl, Dlsl), upd(lsu, Dlsu))
         return new, gap
 
     carry = (dx, du, sl, su, tg, tl, tu, tsl, tsu, lg, ll, lu, lsl, lsu)
