@@ -28,15 +28,21 @@ INF = 1e12  # stand-in for +inf bounds; kept finite for IPM masking logic
 _e = np.zeros((0,))
 
 
-def _obstacle_distances(xy, p, n_obs):
-    """Euclidean distances from position `xy` to `n_obs` obstacle centers.
+def _obstacle_distances(xp, yp, p, n_obs):
+    """Euclidean distances from position (xp, yp) to `n_obs` obstacle centers.
 
     p holds (ox1, oy1, ox2, oy2, ...) like the acados parameter vector
-    (reference scripts/usv_guidance_ca1/usv_model.py:133-140).
+    (reference scripts/usv_guidance_ca1/usv_model.py:133-140).  Written as an
+    unrolled stack of scalar expressions so it is *shape-polymorphic*: the
+    components may be scalars (per-instance path) or (N, B) lane tensors
+    (batched lane engine) — only broadcasting is used, never reshapes.
     """
-    centers = p[: 2 * n_obs].reshape(n_obs, 2)
-    d = xy[None, :] - centers
-    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+    ds = []
+    for i in range(n_obs):
+        dx = xp - p[2 * i]
+        dy = yp - p[2 * i + 1]
+        ds.append(jnp.sqrt(dx * dx + dy * dy))
+    return jnp.stack(ds)
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +213,7 @@ def usv_pf_ca() -> Model:
     """
 
     def h(x, p):
-        return _obstacle_distances(jnp.stack([x[10], x[11]]), p, 4)
+        return _obstacle_distances(x[10], x[11], p, 4)
 
     return Model(
         name="usv_pf_ca", nx=14, nu=2, np_=8, f=_pf_dynamics(c=1.0),
@@ -414,7 +420,7 @@ def usv_guidance_ca() -> Model:
         ])
 
     def h(x, p):
-        return _obstacle_distances(jnp.stack([x[5], x[6]]), p, 8)
+        return _obstacle_distances(x[5], x[6], p, 8)
 
     return Model(
         name="usv_guidance_ca", nx=9, nu=1, np_=16, f=f,
@@ -458,7 +464,7 @@ def usv_guidance_ca1() -> Model:
         ])
 
     def h(x, p):
-        return _obstacle_distances(jnp.stack([x[5], x[6]]), p, 8)
+        return _obstacle_distances(x[5], x[6], p, 8)
 
     return Model(
         name="usv_guidance_ca1", nx=8, nu=1, np_=16, f=f,

@@ -1,0 +1,232 @@
+"""Lane-batched SQP-RTI solver — the production TPU throughput path.
+
+Functionally identical to `solver/sqp_rti.RTISolver` (one Gauss-Newton
+linearization + one interior-point QP + full primal step per call, warm
+start carried across calls), but the scenario batch lives on the minor-most
+lane axis of every tensor (see ops/lanes.py for why), and the linearization
+is done with a single `jax.linearize` whose linear map is re-applied to the
+nx+nu basis tangents — one nonlinear trace, nx+nu cheap linear passes, all
+elementwise over (N, L) lanes.  This replaces both the CasADi-generated
+forward VDE *and* the outer per-instance `vmap` of the reference design.
+
+Layouts:
+    trajectories  xbar (nx, N+1, L), ubar (nu, N, L)
+    measurements  x0 (nx, L), params (np, L), lh (nh, L)
+Converters to/from batch-first (B, ...) layout are provided for interop
+with the per-instance engine and host code.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_collisionavoidance_tpu.ocp.spec import OCPSpec
+from mpc_collisionavoidance_tpu.ops.ipm_lanes import (
+    LaneQP, ipm_solve_lanes)
+
+
+class LaneState(NamedTuple):
+    xbar: jnp.ndarray  # (nx, N+1, L)
+    ubar: jnp.ndarray  # (nu, N, L)
+
+
+class LaneOutput(NamedTuple):
+    u0: jnp.ndarray      # (nu, L)
+    x1: jnp.ndarray      # (nx, L)
+    gap: jnp.ndarray     # (L,)
+    status: jnp.ndarray  # (L,)
+
+
+def to_lanes(batch_first):
+    """(B, d1, d2, ...) -> (d1, d2, ..., B)."""
+    return jnp.moveaxis(jnp.asarray(batch_first), 0, -1)
+
+
+def from_lanes(lane):
+    """(d1, ..., B) -> (B, d1, ...)."""
+    return jnp.moveaxis(lane, -1, 0)
+
+
+class LaneRTISolver:
+    def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
+                 ipm_tol: float = 1e-7):
+        self.spec = spec
+        self.ipm_iters = ipm_iters
+        self.ipm_tol = ipm_tol
+        m = spec.model
+        self.idxbu = tuple(int(i) for i in np.asarray(m.idxbu).reshape(-1))
+        self.idxbx = tuple(int(i) for i in np.asarray(m.idxbx).reshape(-1))
+        if spec.soft is not None:
+            self.soft_idx = tuple(int(i) for i in spec.soft.idxsh)
+        else:
+            self.soft_idx = ()
+        self.hard_idx = tuple(int(i) for i in spec.hard_h_rows())
+
+    # ------------------------------------------------------------------
+    def init_state(self, x0_batch, dtype=jnp.float32) -> LaneState:
+        """x0_batch: (B, nx) batch-first; returns lane-layout warm start
+        (acados-style: all stages at x0, zero controls)."""
+        x0 = to_lanes(jnp.asarray(x0_batch, dtype))       # (nx, L)
+        N = self.spec.N
+        xbar = jnp.broadcast_to(x0[:, None, :],
+                                (x0.shape[0], N + 1, x0.shape[1]))
+        ubar = jnp.zeros((self.spec.model.nu, N, x0.shape[1]), dtype)
+        return LaneState(xbar=xbar, ubar=ubar)
+
+    # ------------------------------------------------------------------
+    def _build_qp(self, state: LaneState, x0, params, lh) -> LaneQP:
+        spec = self.spec
+        m = spec.model
+        nx, nu, N = m.nx, m.nu, spec.N
+        xbar, ubar = state.xbar, state.ubar
+        dtype = xbar.dtype
+        L = xbar.shape[-1]
+        scale = spec.stage_scale
+        xs = xbar[:, :-1, :]                               # (nx, N, L)
+
+        # ---- dynamics linearization: one trace, nx+nu linear passes ----
+        h_step = spec.dt / spec.integrator_steps
+
+        def F(xu):
+            x, u = xu[:nx], xu[nx:]
+            for _ in range(spec.integrator_steps):
+                k1 = m.f(x, u, params)
+                k2 = m.f(x + 0.5 * h_step * k1, u, params)
+                k3 = m.f(x + 0.5 * h_step * k2, u, params)
+                k4 = m.f(x + h_step * k3, u, params)
+                x = x + (h_step / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            return x
+
+        xu = jnp.concatenate([xs, ubar], axis=0)           # (nxu, N, L)
+        x_next, lin = jax.linearize(F, xu)
+        eye = np.eye(nx + nu)
+        cols = [lin(jnp.broadcast_to(
+            jnp.asarray(eye[j], dtype)[:, None, None], xu.shape))
+            for j in range(nx + nu)]
+        J = jnp.stack(cols, axis=1)                        # (nx, nxu, N, L)
+        J = jnp.transpose(J, (2, 0, 1, 3))                 # (N, nx, nxu, L)
+        A, Bm = J[:, :, :nx, :], J[:, :, nx:, :]
+        c = jnp.moveaxis(x_next - xbar[:, 1:, :], 0, 1)    # (N, nx, L)
+
+        # ---- cost ----
+        Vx = np.asarray(spec.cost.Vx); Vu = np.asarray(spec.cost.Vu)
+        W = np.asarray(spec.cost.W)
+        Qc = jnp.asarray(scale * (Vx.T @ W @ Vx), dtype)
+        Rc = jnp.asarray(scale * (Vu.T @ W @ Vu), dtype)
+        Sc = jnp.asarray(scale * (Vu.T @ W @ Vx), dtype)
+        M_x = jnp.asarray(scale * (Vx.T @ W), dtype)       # (nx, ny)
+        M_u = jnp.asarray(scale * (Vu.T @ W), dtype)       # (nu, ny)
+        yref = jnp.asarray(spec.cost.yref, dtype)[:, None, None]
+        y = (jnp.tensordot(jnp.asarray(Vx, dtype), xs, axes=[[1], [0]])
+             + jnp.tensordot(jnp.asarray(Vu, dtype), ubar, axes=[[1], [0]])
+             - yref)                                       # (ny, N, L)
+        qx_path = jnp.moveaxis(
+            jnp.tensordot(M_x, y, axes=[[1], [0]]), 0, 1)  # (N, nx, L)
+        qu = jnp.moveaxis(
+            jnp.tensordot(M_u, y, axes=[[1], [0]]), 0, 1)  # (N, nu, L)
+        Vx_e = np.asarray(spec.cost.Vx_e); W_e = np.asarray(spec.cost.W_e)
+        QN = jnp.asarray(Vx_e.T @ W_e @ Vx_e, dtype)
+        yN = (jnp.tensordot(jnp.asarray(Vx_e, dtype), xbar[:, -1, :],
+                            axes=[[1], [0]])
+              - jnp.asarray(spec.cost.yref_e, dtype)[:, None])
+        qx_N = jnp.tensordot(jnp.asarray(Vx_e.T @ W_e, dtype), yN,
+                             axes=[[1], [0]])              # (nx, L)
+        qx = jnp.concatenate([qx_path, qx_N[None]], axis=0)
+
+        # ---- control box residuals ----
+        if self.idxbu:
+            usel = jnp.moveaxis(ubar[np.asarray(self.idxbu, dtype=np.int64)], 0, 1)  # (N, nbu, L)
+            lbu = jnp.asarray(m.lbu, dtype)[None, :, None]
+            ubu = jnp.asarray(m.ubu, dtype)[None, :, None]
+            ub_lo = lbu - usel
+            ub_hi = usel - ubu
+        else:
+            ub_lo = ub_hi = jnp.zeros((N, 0, L), dtype)
+
+        # ---- state box residuals (stage 0 masked) ----
+        xmask = (jnp.arange(N) > 0).astype(dtype)[:, None, None]
+        if self.idxbx:
+            xsel = jnp.moveaxis(xs[np.asarray(self.idxbx, dtype=np.int64)], 0, 1)    # (N, nbx, L)
+            lbx = jnp.asarray(m.lbx, dtype)[None, :, None]
+            ubx = jnp.asarray(m.ubx, dtype)[None, :, None]
+            xb_lo = jnp.where(xmask > 0, lbx - xsel, -1.0)
+            xb_hi = jnp.where(xmask > 0, xsel - ubx, -1.0)
+        else:
+            xb_lo = xb_hi = jnp.zeros((N, 0, L), dtype)
+
+        # ---- nonlinear constraint linearization ----
+        nh = m.nh
+        if nh:
+            def H(xv):
+                return m.h(xv, params)
+
+            hbar_l, linh = jax.linearize(H, xs)            # (nh, N, L)
+            eyex = np.eye(nx)
+            colsC = [linh(jnp.broadcast_to(
+                jnp.asarray(eyex[j], dtype)[:, None, None], xs.shape))
+                for j in range(nx)]
+            C = jnp.stack(colsC, axis=1)                   # (nh, nx, N, L)
+            C = jnp.transpose(C, (2, 0, 1, 3))             # (N, nh, nx, L)
+            hbar = jnp.moveaxis(hbar_l, 0, 1)              # (N, nh, L)
+            lh_full = (jnp.asarray(m.lh, dtype)[:, None] if lh is None
+                       else jnp.asarray(lh, dtype))
+            if lh_full.ndim == 1:
+                lh_full = lh_full[:, None]
+            uh_full = jnp.asarray(m.uh, dtype)[:, None]
+        else:
+            C = jnp.zeros((N, 0, nx, L), dtype)
+            hbar = jnp.zeros((N, 0, L), dtype)
+            lh_full = uh_full = jnp.zeros((0, 1), dtype)
+
+        hi = np.asarray(self.hard_idx, dtype=np.int64)
+        si = np.asarray(self.soft_idx, dtype=np.int64)
+        Ch = C[:, hi]
+        hh_lo = lh_full[hi][None] - hbar[:, hi]
+        hh_hi = hbar[:, hi] - uh_full[hi][None]
+        Cs = C[:, si]
+        hofs = hbar[:, si]
+        slh = jnp.broadcast_to(lh_full[si][None], (N, len(si), L))
+        suh = jnp.broadcast_to(uh_full[si][None], (N, len(si), L))
+
+        if spec.soft is not None:
+            sp = spec.soft
+            zl = jnp.asarray(scale * sp.zl, dtype)[:, None]
+            Zl = jnp.asarray(scale * sp.Zl, dtype)[:, None]
+            zu = jnp.asarray(scale * sp.zu, dtype)[:, None]
+            Zu = jnp.asarray(scale * sp.Zu, dtype)[:, None]
+            lsh = jnp.asarray(sp.lsh, dtype)[:, None]
+            ush = jnp.asarray(sp.ush, dtype)[:, None]
+        else:
+            zl = Zl = zu = Zu = lsh = ush = jnp.zeros((0, 1), dtype)
+
+        return LaneQP(
+            A=A, B=Bm, c=c, dx0=x0 - xbar[:, 0, :],
+            Qc=Qc, QN=QN, Sc=Sc, Rc=Rc, qx=qx, qu=qu,
+            ub_lo=ub_lo, ub_hi=ub_hi,
+            xb_lo=xb_lo, xb_hi=xb_hi, xmask=xmask,
+            Ch=Ch, hh_lo=hh_lo, hh_hi=hh_hi,
+            Cs=Cs, hofs=hofs, slh=slh, suh=suh,
+            zl=zl, Zl=Zl, zu=zu, Zu=Zu, lsh=lsh, ush=ush,
+        )
+
+    # ------------------------------------------------------------------
+    def step_fn(self, state: LaneState, x0, params,
+                lh: Optional[jnp.ndarray] = None):
+        """One RTI tick for the whole lane batch.
+
+        x0 (nx, L), params (np, L), lh (nh, L) or (nh,) or None.
+        """
+        dtype = state.xbar.dtype
+        x0 = jnp.asarray(x0, dtype)
+        params = jnp.asarray(params, dtype)
+        qp = self._build_qp(state, x0, params, lh)
+        sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
+                              iters=self.ipm_iters, tol=self.ipm_tol)
+        xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
+        ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
+        new_state = LaneState(xbar=xbar, ubar=ubar)
+        out = LaneOutput(u0=ubar[:, 0, :], x1=xbar[:, 1, :],
+                         gap=sol.gap, status=sol.status)
+        return new_state, out
