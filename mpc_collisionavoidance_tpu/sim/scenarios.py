@@ -87,3 +87,50 @@ def pf_ca_default(n_steps: int = 4000) -> Scenario:
                    x1, y1, ak, nedx, nedy, 0.0, 0.0])
     return Scenario("pf_ca_default", x0, pobs, robs, n_steps, float(ak),
                     np.array([[x1, y1], [x2, y2]]))
+
+
+# ---------------------------------------------------------------------------
+# World obstacle fields from the fake-LiDAR simulator (reference
+# catkin_ws/src/simulation/scripts/obstacle_sim_node.py:164-270): fixed-
+# capacity (M, 3) tables of NED (X, Y, R) plus a validity mask.
+
+FIELD_CAPACITY = 32
+
+
+def _field(rows):
+    field = np.zeros((FIELD_CAPACITY, 3))
+    valid = np.zeros(FIELD_CAPACITY, dtype=bool)
+    rows = np.asarray(rows, dtype=float)
+    field[: len(rows)] = rows
+    valid[: len(rows)] = True
+    return field, valid
+
+
+def challenge0_field():
+    """Four big buoys sitting on the x = 4 path (reference
+    obstacle_sim_node.py:164-181, challenge 0)."""
+    return _field([(4.0, 4.0, 1.0), (4.0, 6.5, 1.0),
+                   (3.7, 12.0, 1.0), (4.2, 20.0, 1.0)])
+
+
+def challenge1_field():
+    """The 21-buoy AutonomousNavigation course (reference
+    obstacle_sim_node.py:205-270, challenge 1): twenty r = 0.105 markers
+    plus one r = 0.2 gate buoy at (10, 0)."""
+    buoys = [(3.1, 1.1), (3.3, 2.2), (3.2, -3.3), (6.2, 1.2), (4.1, -4.2),
+             (4.4, -2.5), (5.3, -3.4), (6.2, 2.3), (9.1, -4.4), (9.6, -3.6),
+             (12.6, 3.4), (10.7, -4.6), (10.3, 6.1), (9.3, 4.1),
+             (12.4, -3.3), (13.6, -1.6), (13.4, 2.4), (14.2, -0.2),
+             (5.1, 4.2), (7.7, 5.6)]
+    rows = [(x, y, 0.105) for x, y in buoys] + [(10.0, 0.0, 0.2)]
+    return _field(rows)
+
+
+def autonav_mission():
+    """A multi-segment mission through the challenge-1 buoy field: exercises
+    waypoint advancing, heading re-projection across segment switches, and
+    the top-8 truncation (21 visible obstacles > 8 solver slots)."""
+    waypoints = np.array([
+        [0.0, 0.0], [7.5, 0.5], [15.0, 0.0], [15.0, 8.0]])
+    field, valid = challenge1_field()
+    return waypoints, len(waypoints), field, valid
