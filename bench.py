@@ -2,7 +2,9 @@
 
 Measures steady-state RTI solve throughput for the usv_guidance_ca1 OCP at
 its real-time configuration (nx=8, nu=1, N=100, 8 soft obstacle constraints,
-SURVEY.md section 6) with a vmapped scenario batch resident on device.
+SURVEY.md section 6) using the lane-batched engine (solver/batch.py): the
+scenario batch rides the minor-most 128-wide lane axis, so every
+small-matrix op in the Riccati/IPM stack is full-width VPU work.
 
 Baseline: the BASELINE.json target is >= 5000 solves/s/chip on TPU v5e (the
 reference executes 1 solve/tick on a boat CPU at 20 Hz; its offline harness
@@ -25,40 +27,39 @@ def main():
 
     from mpc_collisionavoidance_tpu.ocp import builders
     from mpc_collisionavoidance_tpu.sim import scenarios
-    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver, SolverState
+    from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver, to_lanes
 
     B = int(os.environ.get("BENCH_BATCH", "4096"))
     ticks = int(os.environ.get("BENCH_TICKS", "10"))
     ipm_iters = int(os.environ.get("BENCH_IPM_ITERS", "12"))
 
     spec = builders.usv_guidance_ca1()           # Tf=5, N=100
-    solver = RTISolver(spec, ipm_iters=ipm_iters)
+    solver = LaneRTISolver(spec, ipm_iters=ipm_iters)
     sc = scenarios.guidance_ca1_default()
 
     rng = np.random.default_rng(0)
     x0s = np.broadcast_to(sc.x0, (B, 8)).copy()
     x0s[:, 2] += 0.1 * rng.standard_normal(B)     # de-correlate instances
-    x0s = jnp.asarray(x0s, jnp.float32)
-    params = jnp.broadcast_to(jnp.asarray(sc.params, jnp.float32), (B, 16))
-    lhs = jnp.broadcast_to(jnp.asarray(sc.lh, jnp.float32), (B, 8))
+    states = solver.init_state(x0s)
+    xL = to_lanes(jnp.asarray(x0s, jnp.float32))
+    pL = to_lanes(np.broadcast_to(sc.params, (B, 16)).astype(np.float32))
+    lhL = to_lanes(np.broadcast_to(sc.lh, (B, 8)).astype(np.float32))
 
-    states = jax.vmap(lambda x: solver.init_state(x, dtype=jnp.float32))(x0s)
-
-    step = jax.jit(jax.vmap(solver.step_fn), donate_argnums=(0,))
+    step = jax.jit(solver.step_fn, donate_argnums=(0,))
 
     # closed-loop style warmup: feed back stage-1 predictions as next x0
     for _ in range(3):
-        states, outs = step(states, x0s, params, lhs)
-        x0s = outs.x1
+        states, outs = step(states, xL, pL, lhL)
+        xL = outs.x1
     # NOTE: an explicit scalar fetch is the sync point — on tunneled TPU
     # backends block_until_ready can return before execution finishes.
-    float(outs.qp_gap.sum())
+    float(outs.gap.sum())
 
     t0 = time.perf_counter()
     for _ in range(ticks):
-        states, outs = step(states, x0s, params, lhs)
-        x0s = outs.x1
-    float(outs.qp_gap.sum())
+        states, outs = step(states, xL, pL, lhL)
+        xL = outs.x1
+    float(outs.gap.sum())
     dt = time.perf_counter() - t0
 
     solves_per_s = B * ticks / dt
