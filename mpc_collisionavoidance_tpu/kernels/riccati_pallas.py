@@ -1,0 +1,179 @@
+"""Fused Riccati LQR sweep as a single Pallas TPU kernel.
+
+Drop-in replacement for `ops.riccati_lanes.lqr_solve_lanes`: identical math
+(backward Riccati factor/solve + forward rollout), but the whole recursion
+over N stages runs inside ONE kernel program per 128-lane block, with the
+entire stage-structured QP resident in VMEM.
+
+Why this wins over the lax.scan version: the scan emits ~40 small HLO ops
+per stage per sweep; at N = 100 stages that is thousands of sequential
+dispatches on (8, 8, L) operands whose per-op overhead dwarfs the
+arithmetic (the arithmetic is ~100 FLOPs/lane/stage).  Here the stage loop
+is a `fori_loop` INSIDE the kernel: no dispatch overhead, no HBM round
+trips for the carry, full-width VPU lanes throughout — the same argument
+BLASFEO makes for the reference on CPU caches (SURVEY.md N3), transplanted
+to VMEM.
+
+VMEM budget: a 128-lane block of the flagship QP (nx = 8, nu = 1,
+N = 100) is ~7.5 MB of inputs + ~0.9 MB outputs/scratch — comfortably
+inside the ~16 MB/core VMEM.  For larger models (nx = 14 full hull) the
+block still fits at N = 100 only without Q broadcast; callers should fall
+back to the lax path above nx ~ 10 (see `fits_vmem`).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_BLOCK = 128
+
+
+def fits_vmem(N, nx, nu, lane_block=LANE_BLOCK, budget_bytes=14 * 2**20):
+    """Whether a lane block's QP + scratch fits the VMEM budget."""
+    per_stage = (nx * nx * 2      # A, Q
+                 + nx * nu * 2    # B, S (S is nu x nx)
+                 + nu * nu        # R
+                 + 2 * nx + nu    # c, qx, qu
+                 + nu * nx + nu   # K, kff scratch
+                 + nx + nu)       # dx, du outputs
+    total = (N + 1) * per_stage * lane_block * 4
+    return total < budget_bytes
+
+
+def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
+            p_s, *, N, nx, nu):
+    """One lane block: full backward + forward sweep in VMEM.
+
+    Refs (leading axis = stage, trailing = LANE_BLOCK lanes):
+      A (N, nx, nx, L)   B (N, nx, nu, L)   c (N, nx, L)
+      Q (N+1, nx, nx, L) S (N, nu, nx, L)   R (N, nu, nu, L)
+      qx (N+1, nx, L)    qu (N, nu, L)      dx0 (nx, L)
+    Outputs: dx_out (N+1, nx, L), du_out (N, nu, L).
+    Scratch: K_s (N, nu, nx, L), k_s (N, nu, L), P_s (nx, nx, L),
+             p_s (nx, L).
+    """
+    P_s[:] = Q[N]
+    p_s[:] = qx[N]
+
+    def backward(i, _):
+        s = N - 1 - i
+        As = A[s]; Bs = B[s]                             # (nx, nx|nu, L)
+        P = P_s[:]; p = p_s[:]
+        # PA/PB/Pc via unrolled broadcast FMAs (all full-lane VPU ops)
+        PA = jnp.einsum("ikl,kjl->ijl", P, As)
+        PB = jnp.einsum("ikl,kjl->ijl", P, Bs)
+        Pc_p = jnp.einsum("ikl,kl->il", P, c[s]) + p
+        Huu = R[s] + jnp.einsum("kil,kjl->ijl", Bs, PB)  # (nu, nu, L)
+        Hux = S[s] + jnp.einsum("kil,kjl->ijl", Bs, PA)  # (nu, nx, L)
+        hu = qu[s] + jnp.einsum("kil,kl->il", Bs, Pc_p)  # (nu, L)
+
+        # tiny Cholesky of Huu, unrolled (nu <= 2 in the model zoo)
+        Lf = [[None] * nu for _ in range(nu)]
+        for r_ in range(nu):
+            for cc in range(r_ + 1):
+                acc = Huu[r_, cc]
+                for t in range(cc):
+                    acc = acc - Lf[r_][t] * Lf[cc][t]
+                Lf[r_][cc] = jnp.sqrt(acc) if r_ == cc else acc / Lf[cc][cc]
+
+        def solve(rhs_rows):                             # list of (L,) rows
+            y = [None] * nu
+            for r_ in range(nu):
+                acc = rhs_rows[r_]
+                for t in range(r_):
+                    acc = acc - Lf[r_][t] * y[t]
+                y[r_] = acc / Lf[r_][r_]
+            x = [None] * nu
+            for r_ in reversed(range(nu)):
+                acc = y[r_]
+                for t in range(r_ + 1, nu):
+                    acc = acc - Lf[t][r_] * x[t]
+                x[r_] = acc / Lf[r_][r_]
+            return x
+
+        Kcols = []
+        for j in range(nx):
+            Kcols.append(solve([-Hux[r_, j] for r_ in range(nu)]))
+        K = jnp.stack([jnp.stack([Kcols[j][r_] for j in range(nx)])
+                       for r_ in range(nu)])             # (nu, nx, L)
+        kff = jnp.stack(solve([-hu[r_] for r_ in range(nu)]))  # (nu, L)
+
+        K_s[s] = K
+        k_s[s] = kff
+        Pn = (Q[s] + jnp.einsum("kil,kjl->ijl", As, PA)
+              + jnp.einsum("kil,kjl->ijl", Hux, K))
+        P_s[:] = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+        p_s[:] = (qx[s] + jnp.einsum("kil,kl->il", As, Pc_p)
+                  + jnp.einsum("kil,kl->il", Hux, kff))
+        return 0
+
+    jax.lax.fori_loop(0, N, backward, 0)
+
+    dx_out[0] = dx0[:]
+
+    def forward(s, _):
+        dx = dx_out[s]
+        du = jnp.einsum("ikl,kl->il", K_s[s], dx) + k_s[s]
+        du_out[s] = du
+        dx_out[s + 1] = (jnp.einsum("ikl,kl->il", A[s], dx)
+                         + jnp.einsum("ikl,kl->il", B[s], du) + c[s])
+        return 0
+
+    jax.lax.fori_loop(0, N, forward, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lqr_solve_lanes_pallas(d, interpret: bool = False):
+    """Pallas-fused equivalent of `ops.riccati_lanes.lqr_solve_lanes`.
+
+    `d` is an `ops.riccati_lanes.LaneLQR`; the lane count L must be a
+    multiple of LANE_BLOCK (pad lanes to 128 upstream — the engines already
+    batch in powers of two).  Returns (dx (N+1, nx, L), du (N, nu, L)).
+    """
+    N, nx, nu, L = d.B.shape[0], d.A.shape[1], d.B.shape[2], d.B.shape[-1]
+    assert L % LANE_BLOCK == 0, f"lane count {L} not a multiple of {LANE_BLOCK}"
+    dtype = d.A.dtype
+    grid = (L // LANE_BLOCK,)
+
+    def lane_spec(*lead):
+        # block = full stage/row dims, one 128-lane slice
+        blk = tuple(lead) + (LANE_BLOCK,)
+        nlead = len(lead)
+        return pl.BlockSpec(blk, lambda i: (0,) * nlead + (i,),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, N=N, nx=nx, nu=nu)
+    dx, du = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(N, nx, nx),      # A
+            lane_spec(N, nx, nu),      # B
+            lane_spec(N, nx),          # c
+            lane_spec(N + 1, nx, nx),  # Q
+            lane_spec(N, nu, nx),      # S
+            lane_spec(N, nu, nu),      # R
+            lane_spec(N + 1, nx),      # qx
+            lane_spec(N, nu),          # qu
+            lane_spec(nx),             # dx0
+        ],
+        out_specs=[
+            lane_spec(N + 1, nx),      # dx
+            lane_spec(N, nu),          # du
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + 1, nx, L), dtype),
+            jax.ShapeDtypeStruct((N, nu, L), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, nu, nx, LANE_BLOCK), dtype),   # K
+            pltpu.VMEM((N, nu, LANE_BLOCK), dtype),       # kff
+            pltpu.VMEM((nx, nx, LANE_BLOCK), dtype),      # P carry
+            pltpu.VMEM((nx, LANE_BLOCK), dtype),          # p carry
+        ],
+        interpret=interpret,
+    )(d.A, d.B, d.c, d.Q, d.S, d.R, d.qx, d.qu, d.dx0)
+    return dx, du

@@ -83,7 +83,8 @@ def ipm_solve_lanes(qp: LaneQP,
                     tau: float = 0.995,
                     sigma: float = 0.1,
                     tol: float = 1e-7,
-                    mu0: float = 1.0) -> LaneIPMSolution:
+                    mu0: float = 1.0,
+                    riccati: str = "lax") -> LaneIPMSolution:
     N, nx, nu, L = qp.B.shape[0], qp.A.shape[1], qp.B.shape[2], qp.B.shape[-1]
     nbu, nbx = len(idxbu), len(idxbx)
     nHh = qp.Ch.shape[1]
@@ -94,6 +95,16 @@ def ipm_solve_lanes(qp: LaneQP,
 
     idxbu = tuple(int(i) for i in idxbu)
     idxbx = tuple(int(i) for i in idxbx)
+
+    if riccati.startswith("pallas"):
+        import functools as _ft
+
+        from mpc_collisionavoidance_tpu.kernels.riccati_pallas import (
+            lqr_solve_lanes_pallas)
+        riccati_fn = _ft.partial(lqr_solve_lanes_pallas,
+                                 interpret=riccati == "pallas_interpret")
+    else:
+        riccati_fn = lqr_solve_lanes
 
     def du_sel(du):
         return du[:, np.asarray(idxbu, dtype=np.int64), :] if nbu else du[:, :0, :]
@@ -225,8 +236,8 @@ def ipm_solve_lanes(qp: LaneQP,
         # ---- Newton step via lane Riccati ----
         cbar = ln.smv(qp.A, dxp) + ln.smv(qp.B, du) + qp.c - dx[1:]
         ddx0 = qp.dx0 - dx[0]
-        Ddx, Ddu = lqr_solve_lanes(LaneLQR(qp.A, qp.B, cbar, Q_all, Sbar,
-                                           Rbar, qx_all, qu_bar, ddx0))
+        Ddx, Ddu = riccati_fn(LaneLQR(qp.A, qp.B, cbar, Q_all, Sbar,
+                                      Rbar, qx_all, qu_bar, ddx0))
         Ddxp = Ddx[:-1]
 
         # ---- recover slack/dual steps ----

@@ -51,10 +51,13 @@ def from_lanes(lane):
 
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
-                 ipm_tol: float = 1e-7):
+                 ipm_tol: float = 1e-7, riccati: str = "lax"):
+        """`riccati`: "lax" (scan-based) or "pallas" (fused VMEM kernel;
+        lane count must be a multiple of 128 — see kernels/riccati_pallas)."""
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
+        self.riccati = riccati
         m = spec.model
         self.idxbu = tuple(int(i) for i in np.asarray(m.idxbu).reshape(-1))
         self.idxbx = tuple(int(i) for i in np.asarray(m.idxbx).reshape(-1))
@@ -223,7 +226,8 @@ class LaneRTISolver:
         params = jnp.asarray(params, dtype)
         qp = self._build_qp(state, x0, params, lh)
         sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
-                              iters=self.ipm_iters, tol=self.ipm_tol)
+                              iters=self.ipm_iters, tol=self.ipm_tol,
+                              riccati=self.riccati)
         xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
         ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
         new_state = LaneState(xbar=xbar, ubar=ubar)

@@ -1,0 +1,133 @@
+"""Real-time serving boundary: protocol, server, and the native C++ client.
+
+The end-to-end test builds the actual C++ client with cmake/g++ and drives
+a closed loop through the real UDS socket — the in-process equivalent of
+the reference's multi-process ROS smoke setup (SURVEY.md section 4.2).
+"""
+
+import asyncio
+import math
+import shutil
+import subprocess
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mpc_collisionavoidance_tpu.rt import protocol
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_protocol_roundtrip():
+    req = protocol.Request(seq=7, x0=tuple(float(i) for i in range(8)),
+                           p_obs=tuple(float(i) for i in range(16)),
+                           r_obs=tuple(float(i) for i in range(8)))
+    buf = protocol.pack_request(req)
+    assert len(buf) == protocol.REQ_SIZE == 136
+    back = protocol.unpack_request(buf)
+    assert back.seq == 7 and back.x0[3] == 3.0 and back.r_obs[-1] == 7.0
+
+    resp = protocol.Response(seq=9, status=1, u0=0.25,
+                             x1=tuple(float(i) for i in range(8)))
+    buf = protocol.pack_response(resp)
+    assert len(buf) == protocol.RESP_SIZE == 48
+    back = protocol.unpack_response(buf)
+    assert back.seq == 9 and back.status == 1 and back.u0 == 0.25
+
+
+def test_protocol_rejects_bad_magic():
+    with pytest.raises(ValueError):
+        protocol.unpack_request(b"\x00" * protocol.REQ_SIZE)
+
+
+# ---------------------------------------------------------------------------
+
+class _ServerThread:
+    """Run the asyncio RT server on a background thread for tests."""
+
+    def __init__(self, sock_path, **kw):
+        from mpc_collisionavoidance_tpu.rt.server import RTServer
+        self.server = RTServer(str(sock_path), **kw)
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        asyncio.set_event_loop(self._loop)
+        self._loop.run_until_complete(self.server.start())
+        self._loop.run_forever()
+
+    def __enter__(self):
+        self.server.warmup()
+        self._thread.start()
+        deadline = time.time() + 10
+        while not Path(self.server.path).exists():
+            assert time.time() < deadline, "server socket never appeared"
+            time.sleep(0.05)
+        return self
+
+    def __exit__(self, *exc):
+        async def _stop():
+            await self.server.stop()
+        asyncio.run_coroutine_threadsafe(_stop(), self._loop).result(5)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(5)
+
+
+def _python_client_solve(sock_path, req):
+    import socket as socketlib
+    s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    s.connect(str(sock_path))
+    s.sendall(protocol.pack_request(req))
+    buf = b""
+    while len(buf) < protocol.RESP_SIZE:
+        buf += s.recv(protocol.RESP_SIZE - len(buf))
+    s.close()
+    return protocol.unpack_response(buf)
+
+
+def test_server_python_client(tmp_path):
+    """Python-side client solves the flagship scenario one tick."""
+    sock = tmp_path / "nmpc.sock"
+    with _ServerThread(sock, N=20, Tf=1.0, ipm_iters=6):
+        ak = math.pi / 2
+        p = [100.0] * 16
+        r = [0.0] * 8
+        req = protocol.Request(
+            seq=3, x0=(0.7, 0.0, -4.0, -ak, -ak, 0.0, 0.0, 0.0),
+            p_obs=tuple(p), r_obs=tuple(r))
+        resp = _python_client_solve(sock, req)
+        assert resp.seq == 3
+        assert resp.status in (0, 1)
+        assert np.isfinite(resp.u0)
+        # with ye = -4 the controller must steer toward the path
+        assert abs(resp.u0) > 1e-4
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None or shutil.which("g++") is None,
+                    reason="native toolchain unavailable")
+def test_cpp_client_closed_loop(tmp_path):
+    """Build the real C++ client + demo and run 60 closed-loop ticks
+    against the live server; the demo exits 0 iff every solve succeeded
+    and the vehicle converged to the path."""
+    build = tmp_path / "build"
+    subprocess.run(["cmake", "-S", str(REPO / "rt_client"), "-B", str(build),
+                    "-DCMAKE_BUILD_TYPE=Release"], check=True,
+                   capture_output=True)
+    subprocess.run(["cmake", "--build", str(build), "-j4"], check=True,
+                   capture_output=True)
+
+    sock = tmp_path / "nmpc.sock"
+    # flagship RT configuration (N=100, Tf=5): shorter horizons stall
+    # against the on-path buoys (2 s of lookahead cannot see past them)
+    with _ServerThread(sock, N=100, Tf=5.0, ipm_iters=8):
+        # 1000 ticks = the reference's full Nsim at dt = 0.05 s
+        out = subprocess.run([str(build / "rt_demo"), str(sock), "1000"],
+                             capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "worst_latency_us" in out.stdout
+    # vehicle converged (demo already asserts |ye| < 0.5; sanity-check log)
+    final_ye = float(out.stdout.rsplit("final_ye", 1)[1])
+    assert abs(final_ye) < 0.5
