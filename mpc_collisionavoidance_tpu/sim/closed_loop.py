@@ -65,6 +65,9 @@ def run_closed_loop(solver: RTISolver,
         plant_step = integrators.make_discrete_dynamics(
             spec.model.f, spec.dt, num_steps=4)
 
+    if disturbance is not None:
+        disturbance = jnp.asarray(disturbance, dtype)
+
     def tick(carry, k):
         st, x = carry
         st, out = solver.step_fn(st, x, params, lh)
@@ -73,7 +76,9 @@ def run_closed_loop(solver: RTISolver,
         else:
             x_next = plant_step(x, out.u0, params)
             if disturbance is not None:
-                x_next = x_next + disturbance
+                # constant (nx,) offset or per-step (n_steps, nx) sequence
+                d = disturbance if disturbance.ndim == 1 else disturbance[k]
+                x_next = x_next + d
         errs = jnp.stack([x[err_idx[0]], x[err_idx[1]]])
         return (st, x_next), (x, out.u0, out.status, errs)
 
