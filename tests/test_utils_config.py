@@ -100,3 +100,22 @@ def test_polyline_project_vmappable():
         wp, 3, x, 1.0))(xs)
     assert ks.shape == (7,)
     np.testing.assert_allclose(np.asarray(ss), np.asarray(xs), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+def test_distributed_single_process(monkeypatch):
+    """Single-process path: init is a no-op, the global mesh covers all
+    (virtual) devices, batch splitting validates divisibility."""
+    from mpc_collisionavoidance_tpu.parallel import distributed
+
+    assert distributed.init() == 0
+    mesh = distributed.global_scenario_mesh()
+    # conftest pins jax_default_device to cpu[0]; the mesh must follow the
+    # pin (all 8 virtual cpu devices), not whatever platform sorts first
+    assert mesh.devices.ravel()[0].platform == "cpu"
+    assert mesh.devices.size == len(jax.devices("cpu"))
+    assert distributed.per_process_batch(64) == 64
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert distributed.per_process_batch(64) == 16
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed.per_process_batch(7)
