@@ -244,7 +244,12 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
     eq_res = jnp.maximum(eq_res, jnp.max(jnp.abs(qp.dx0 - dx[0]), initial=0.0))
 
     finite = jnp.isfinite(gap) & jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du))
-    converged = (gap < tol) & (eq_res < 1e3 * tol)
+    # status tolerance is dtype-aware: in float32 the gap floors at
+    # ~3e-7, so a 1e-7 request would label fully-converged solves as
+    # status 1 (observed in bench/CLI runs); the freeze threshold
+    # above is unchanged
+    eff_tol = tol if dtype == jnp.float64 else max(tol, 5e-7)
+    converged = (gap < eff_tol) & (eq_res < 1e3 * eff_tol)
     status = jnp.where(finite, jnp.where(converged, 0, 1), 2)
     return IPMSolution(dx=dx, du=du, sl=sl, su=su, gap=gap,
                        eq_res=eq_res, status=status)

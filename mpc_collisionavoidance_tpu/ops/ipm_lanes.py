@@ -299,6 +299,11 @@ def ipm_solve_lanes(qp: LaneQP,
     finite = (jnp.isfinite(gap)
               & jnp.all(jnp.isfinite(dx), axis=(0, 1))
               & jnp.all(jnp.isfinite(du), axis=(0, 1)))
-    converged = (gap < tol) & (eq_res < 1e3 * tol)
+    # status tolerance is dtype-aware: in float32 the gap floors at
+    # ~3e-7, so a 1e-7 request would label fully-converged solves as
+    # status 1 (observed in bench/CLI runs); the freeze threshold
+    # above is unchanged
+    eff_tol = tol if dtype == jnp.float64 else max(tol, 5e-7)
+    converged = (gap < eff_tol) & (eq_res < 1e3 * eff_tol)
     status = jnp.where(finite, jnp.where(converged, 0, 1), 2).astype(jnp.int32)
     return LaneIPMSolution(dx=dx, du=du, gap=gap, eq_res=eq_res, status=status)
