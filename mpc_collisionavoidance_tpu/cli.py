@@ -17,7 +17,6 @@ dashboard PNGs:
 import argparse
 import json
 import sys
-import time
 
 
 def _cmd_models(_args):

@@ -10,7 +10,6 @@ step function, which differentiates the same Butcher tableau and therefore
 matches the VDE solution to machine precision.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ fraction-to-boundary, convergence freeze — but:
   vectors — each instance follows its own central path.
 """
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

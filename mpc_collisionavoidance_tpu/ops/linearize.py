@@ -15,7 +15,6 @@ x-box rows are masked at stage 0 (state pinned, acados lbx0=ubx0 semantics,
 reference src/nmpc_guidance_ca1.cpp:509-510).
 """
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver, SolverState
+from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None,

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_collisionavoidance_tpu.ocp.spec import OCPSpec
 from mpc_collisionavoidance_tpu.ops import integrators
 from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver, SolverState
 

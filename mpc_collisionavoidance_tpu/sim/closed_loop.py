@@ -49,6 +49,8 @@ def run_closed_loop(solver: RTISolver,
                     metric_norm: float = 600.0,
                     err_idx=(3, 2),
                     disturbance: Optional[jnp.ndarray] = None,
+                    yref=None,
+                    yref_e=None,
                     dtype=jnp.float64) -> ClosedLoopResult:
     """Run the receding-horizon loop; jit/vmap-able as a whole.
 
@@ -70,7 +72,8 @@ def run_closed_loop(solver: RTISolver,
 
     def tick(carry, k):
         st, x = carry
-        st, out = solver.step_fn(st, x, params, lh)
+        st, out = solver.step_fn(st, x, params, lh, yref=yref,
+                                  yref_e=yref_e)
         if plant == "solver_prediction":
             x_next = out.x1
         else:

@@ -24,6 +24,8 @@ class Scenario:
     n_steps: int
     ak: float               # path segment angle
     waypoints: np.ndarray   # (n_wp, 2) for guidance-level sims
+    yref: np.ndarray = None    # runtime stage reference (None = builder's)
+    yref_e: np.ndarray = None
 
 
 def guidance_ca1_default(n_steps: int = 1000) -> Scenario:
@@ -85,8 +87,13 @@ def pf_ca_default(n_steps: int = 4000) -> Scenario:
     psi = 0.0
     x0 = np.array([psi, np.sin(psi), np.cos(psi), 0.001, 0.0, 0.0, ye,
                    x1, y1, ak, nedx, nedy, 0.0, 0.0])
+    # runtime references the reference sim pushes every tick (reference
+    # scripts/usv_pf_ca/main.py:113-133): head along the segment at 0.7 m/s
+    yref = np.zeros(16)
+    yref[1], yref[2], yref[3] = np.sin(ak), np.cos(ak), 0.7
     return Scenario("pf_ca_default", x0, pobs, robs, n_steps, float(ak),
-                    np.array([[x1, y1], [x2, y2]]))
+                    np.array([[x1, y1], [x2, y2]]),
+                    yref=yref, yref_e=yref[:14])
 
 
 # ---------------------------------------------------------------------------

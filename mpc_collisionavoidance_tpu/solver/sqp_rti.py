@@ -14,12 +14,10 @@ Also provides `solve_converged`, a multi-iteration SQP loop (the reference's
 commented-out nlp_solver_type="SQP" alternative) for oracle tests.
 """
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mpc_collisionavoidance_tpu.ocp.spec import OCPSpec
 from mpc_collisionavoidance_tpu.ops import linearize

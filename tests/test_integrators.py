@@ -1,6 +1,5 @@
 """RK4 integrator + sensitivity tests against analytic solutions."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,0 +1,54 @@
+"""usv_pf_ca reference scenario: the full 14-state hydrodynamic hull
+driving thrusters directly, path following with 4 hard obstacle
+constraints (reference scripts/usv_pf_ca/main.py:73-116)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_collisionavoidance_tpu.ocp import builders
+from mpc_collisionavoidance_tpu.sim import scenarios
+from mpc_collisionavoidance_tpu.sim.closed_loop import run_closed_loop
+from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+
+# pf_ca state layout: (psi, sinpsi, cospsi, u, v, r, ye, x1, y1, ak,
+#                      nedx, nedy, Tport, Tstbd)
+IYE, INEDX, INEDY = 6, 10, 11
+
+
+def test_pf_ca_tracks_and_avoids():
+    """Reduced-horizon version of the reference experiment: from the
+    origin, converge to the x = 4 line and clear the four r = 0.5 buoys
+    with the full hull + thrust dynamics in the loop."""
+    spec = builders.usv_pf_ca(Tf=1.0, N=50)
+    solver = RTISolver(spec, ipm_iters=12)
+    sc = scenarios.pf_ca_default()
+    yref = jnp.broadcast_to(jnp.asarray(sc.yref), (spec.N, 16))
+
+    res = jax.jit(lambda x, p, lh: run_closed_loop(
+        solver, x, p, lh, n_steps=1500, err_idx=(0, IYE),
+        transient=800, metric_norm=700.0,
+        yref=yref, yref_e=jnp.asarray(sc.yref_e)))(
+        jnp.asarray(sc.x0), jnp.asarray(sc.params), jnp.asarray(sc.lh))
+
+    simX = np.asarray(res.simX)
+    assert np.all(np.isfinite(simX))
+    # real progress north along the path
+    assert simX[-1, INEDY] > 8.0, simX[-1, [INEDX, INEDY]]
+    # cruises at the commanded 0.7 m/s between maneuvers
+    assert abs(float(np.median(simX[800:, 3])) - 0.7) < 0.05
+    # cross-track MAE bounded (buoys sit ON the path: maneuvers included)
+    assert float(res.ye_mae) < 1.0, float(res.ye_mae)
+    # hard constraints: distance to every buoy >= its radius (no soft band)
+    pos = simX[:, [INEDX, INEDY]]
+    for i in range(4):
+        ox, oy = sc.params[2 * i], sc.params[2 * i + 1]
+        dmin = float(np.min(np.hypot(pos[:, 0] - ox, pos[:, 1] - oy)))
+        assert dmin > float(sc.lh[i]) - 5e-2, (i, dmin)
+    # thrust states stay inside the box (Tport in [-30, 36.5], pf bounds)
+    assert np.all(simX[:, 12] <= 36.5 + 1e-3)
+    assert np.all(simX[:, 12] >= -30.0 - 1e-3)
+    # solver healthy
+    status = np.asarray(res.status)
+    assert np.all(status != 2)
+    assert np.mean(status == 0) > 0.8, np.mean(status == 0)
