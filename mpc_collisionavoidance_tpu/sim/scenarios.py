@@ -141,3 +141,31 @@ def autonav_mission():
         [0.0, 0.0], [7.5, 0.5], [15.0, 0.0], [15.0, 8.0]])
     field, valid = challenge1_field()
     return waypoints, len(waypoints), field, valid
+
+
+def acados_speed_default(n_steps: int = 400) -> Scenario:
+    """usv_acados velocity/thrust experiment: track u_ref = 1.3 m/s from
+    rest (reference scripts/usv_acados/main.py:73,81: yref = (uref, 0...));
+    the in-repo C++ node uses u_des = 1.0 (src/acados_mpc.cpp:127)."""
+    uref = 1.3
+    yref = np.zeros(7)
+    yref[0] = uref
+    x0 = np.array([0.001, 0.0, 0.0, 0.0, 0.0])
+    return Scenario("acados_speed_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, 0.0, np.zeros((0, 2)),
+                    yref=yref, yref_e=yref[:5])
+
+
+def pf_default(n_steps: int = 4000) -> Scenario:
+    """usv_pf path following without obstacles (reference
+    scripts/usv_pf/main.py:95-130): same frame/references as pf_ca."""
+    x1, y1, x2, y2 = 4.0, -5.0, 4.0, 25.0
+    ak = np.arctan2(y2 - y1, x2 - x1)
+    ye = -(0.0 - x1) * np.sin(ak) + (0.0 - y1) * np.cos(ak)
+    x0 = np.array([0.0, 0.0, 1.0, 0.001, 0.0, 0.0, ye,
+                   x1, y1, ak, 0.0, 0.0, 0.0, 0.0])
+    yref = np.zeros(16)
+    yref[1], yref[2], yref[3] = np.sin(ak), np.cos(ak), 0.7
+    return Scenario("pf_default", x0, np.zeros(0), np.zeros(0), n_steps,
+                    float(ak), np.array([[x1, y1], [x2, y2]]),
+                    yref=yref, yref_e=yref[:14])

@@ -52,3 +52,47 @@ def test_pf_ca_tracks_and_avoids():
     status = np.asarray(res.status)
     assert np.all(status != 2)
     assert np.mean(status == 0) > 0.8, np.mean(status == 0)
+
+
+def test_acados_speed_nmpc_reaches_reference():
+    """The velocity/thrust NMPC (N6) must accelerate the 5-state hull model
+    from rest to u_ref = 1.3 m/s under its thrust-rate bounds."""
+    spec = builders.usv_acados()                 # Tf=1, N=20
+    solver = RTISolver(spec, ipm_iters=10)
+    sc = scenarios.acados_speed_default()
+    yref = jnp.broadcast_to(jnp.asarray(sc.yref), (spec.N, 7))
+
+    res = jax.jit(lambda x: run_closed_loop(
+        solver, x, jnp.zeros(0), n_steps=400, err_idx=(0, 1),
+        transient=200, metric_norm=200.0,
+        yref=yref, yref_e=jnp.asarray(sc.yref_e)))(jnp.asarray(sc.x0))
+    simX = np.asarray(res.simX)
+    assert np.all(np.isfinite(simX))
+    # converges toward the commanded 1.3 m/s but settles just under the
+    # piecewise-drag cliff at u = 1.25 (Xu/Xuu jump there, reference
+    # scripts/usv_pf_ca/usv_model.py:137-138) where added drag outweighs
+    # the quadratic tracking cost — the same equilibrium the reference
+    # physics produces
+    assert 1.2 < float(simX[-1, 0]) < 1.35, simX[-1, 0]
+    # thrust states respect [-30, 35] (usv_acados bounds)
+    assert np.all(simX[:, 3] <= 35.0 + 1e-3)
+    assert np.all(simX[:, 3] >= -30.0 - 1e-3)
+
+
+def test_pf_path_following_no_obstacles():
+    """usv_pf (N8 single-layer path following): full hull drives thrusters
+    to converge onto the x = 4 line at 0.7 m/s."""
+    spec = builders.usv_pf(Tf=1.0, N=50)
+    solver = RTISolver(spec, ipm_iters=10)
+    sc = scenarios.pf_default()
+    yref = jnp.broadcast_to(jnp.asarray(sc.yref), (spec.N, 16))
+
+    res = jax.jit(lambda x: run_closed_loop(
+        solver, x, jnp.zeros(0), n_steps=1200, err_idx=(0, IYE),
+        transient=700, metric_norm=500.0,
+        yref=yref, yref_e=jnp.asarray(sc.yref_e)))(jnp.asarray(sc.x0))
+    simX = np.asarray(res.simX)
+    assert np.all(np.isfinite(simX))
+    assert abs(float(simX[-1, IYE])) < 0.1, simX[-1, IYE]          # on path
+    assert abs(float(np.median(simX[700:, 3])) - 0.7) < 0.05       # cruise
+    assert float(res.ye_mae) < 0.2
