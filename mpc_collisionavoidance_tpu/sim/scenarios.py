@@ -54,11 +54,12 @@ def guidance_ca1_default(n_steps: int = 1000) -> Scenario:
 
 
 def guidance_ca_default(n_steps: int = 1000) -> Scenario:
-    """reference scripts/usv_guidance_ca/main.py:73-109: obstacles slightly
-    off-path, radius 0.5, 9-state model with jerk input."""
+    """reference scripts/usv_guidance_ca/main.py:73-122: obstacles slightly
+    off-path, radius 0.5 with the runtime lh pushed as radius + 0.2
+    (main.py:122) — these rows are HARD (no slack band)."""
     obsx = np.array([3.0, 4.0, 3.7, 4.4])
     obsy = np.array([3.0, 8.0, 16.0, 20.0])
-    radius = np.full(8, 0.0); radius[:4] = 0.5
+    radius = np.full(8, 0.0); radius[:4] = 0.5 + 0.2
     pobs = np.full(16, SENTINEL_POS)
     robs = np.zeros(8)
     for i in range(4):

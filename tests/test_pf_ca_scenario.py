@@ -96,3 +96,28 @@ def test_pf_path_following_no_obstacles():
     assert abs(float(simX[-1, IYE])) < 0.1, simX[-1, IYE]          # on path
     assert abs(float(np.median(simX[700:, 3])) - 0.7) < 0.05       # cruise
     assert float(res.ye_mae) < 0.2
+
+
+def test_guidance_ca_jerk_variant_scenario():
+    """usv_guidance_ca (N15): 9-state jerk-input guidance with HARD
+    distance rows and runtime lh = radius + 0.2 (reference
+    scripts/usv_guidance_ca/main.py:73-122)."""
+    spec = builders.usv_guidance_ca(Tf=5.0, N=50)
+    solver = RTISolver(spec, ipm_iters=12)
+    sc = scenarios.guidance_ca_default()
+
+    res = jax.jit(lambda x, p, lh: run_closed_loop(
+        solver, x, p, lh, n_steps=800, err_idx=(3, 2),
+        transient=400, metric_norm=400.0))(
+        jnp.asarray(sc.x0), jnp.asarray(sc.params), jnp.asarray(sc.lh))
+    simX = np.asarray(res.simX)
+    assert np.all(np.isfinite(simX))
+    # converges toward the path (state layout: u,v,ye,chie,psied,x,y,psi,pdd)
+    assert abs(float(simX[-1, 2])) < 0.3, simX[-1, 2]
+    # hard clearance: never inside lh = 0.7 of any real obstacle
+    pos = simX[:, 5:7]
+    for i in range(4):
+        ox, oy = sc.params[2 * i], sc.params[2 * i + 1]
+        dmin = float(np.min(np.hypot(pos[:, 0] - ox, pos[:, 1] - oy)))
+        assert dmin > 0.7 - 5e-2, (i, dmin)
+    assert np.all(np.asarray(res.status) != 2)
