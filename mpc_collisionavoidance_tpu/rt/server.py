@@ -18,6 +18,7 @@ Run standalone:  python -m mpc_collisionavoidance_tpu.rt.server /tmp/nmpc.sock
 """
 
 import asyncio
+import concurrent.futures
 import dataclasses
 from typing import Dict, Optional
 
@@ -51,6 +52,10 @@ class RTServer:
         self._next_id = 0
         self._queue: asyncio.Queue = asyncio.Queue()
         self._server: Optional[asyncio.AbstractServer] = None
+        # single dedicated solve thread: solves are serialized anyway (one
+        # device), and owning it lets warmup() pre-warm exactly this thread
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="nmpc-solve")
 
     # ------------------------------------------------------------------
     def warmup(self):
@@ -68,6 +73,9 @@ class RTServer:
         _, outB = self._stepB(stB, xB, jnp.zeros((2, protocol.NP)),
                               jnp.zeros((2, protocol.NH)))
         jax.block_until_ready(outB.u0)
+        # warm the dispatch path ON THE SOLVE THREAD — the first solve from
+        # a worker thread pays extra overhead that must not hit tick 0
+        self._executor.submit(self._prewarm).result()
 
     # ------------------------------------------------------------------
     async def start(self):
@@ -118,7 +126,19 @@ class RTServer:
                 except asyncio.TimeoutError:
                     break
             await asyncio.get_running_loop().run_in_executor(
-                None, self._solve_batch, batch)
+                self._executor, self._solve_batch, batch)
+
+    # ------------------------------------------------------------------
+    def _prewarm(self):
+        """Throwaway solve absorbing first-dispatch overhead on the thread
+        that will serve requests (run from warmup(); measured ~60 ms that
+        would otherwise land inside the first vehicle's tick-0 budget)."""
+        zeros = np.zeros(protocol.NX, np.float32)
+        st = self.solver.init_state(zeros)
+        _, out = self._step1(st, jnp.asarray(zeros),
+                             jnp.zeros(protocol.NP, jnp.float32),
+                             jnp.zeros(protocol.NH, jnp.float32))
+        jax.block_until_ready(out.u0)
 
     # ------------------------------------------------------------------
     def _solve_batch(self, batch):
