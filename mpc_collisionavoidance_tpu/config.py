@@ -23,13 +23,14 @@ class SolverConfig:
     engine: str = "lane"          # "lane" (throughput) | "instance" (vmap)
     ipm_iters: int = 12
     ipm_tol: float = 1e-7
-    riccati: str = "lax"          # "lax" | "pallas" (lane engine only)
+    riccati: str = "lax"          # "lax" | "pallas" | "pscan" (lane engine)
     dtype: str = "float32"
 
     def __post_init__(self):
         if self.engine not in ("lane", "instance"):
             raise ValueError(f"unknown engine '{self.engine}'")
-        if self.riccati not in ("lax", "pallas", "pallas_interpret"):
+        if self.riccati not in ("lax", "pallas", "pallas_interpret",
+                                "pscan"):
             raise ValueError(f"unknown riccati backend '{self.riccati}'")
         if self.engine == "instance" and self.riccati != "lax":
             raise ValueError("pallas riccati requires the lane engine")

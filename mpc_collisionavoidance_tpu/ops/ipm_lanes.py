@@ -103,6 +103,10 @@ def ipm_solve_lanes(qp: LaneQP,
             lqr_solve_lanes_pallas)
         riccati_fn = _ft.partial(lqr_solve_lanes_pallas,
                                  interpret=riccati == "pallas_interpret")
+    elif riccati == "pscan":
+        from mpc_collisionavoidance_tpu.ops.riccati_pscan import (
+            lqr_solve_pscan)
+        riccati_fn = lqr_solve_pscan
     else:
         riccati_fn = lqr_solve_lanes
 

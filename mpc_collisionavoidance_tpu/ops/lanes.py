@@ -153,3 +153,33 @@ def sgram_rows(C, w):
         ci = C[:, i]                                  # (N, m, L)
         acc = acc + (w[:, i][:, None, :] * ci)[:, :, None, :] * ci[:, None, :, :]
     return acc
+
+
+def ge_solve_mat(M, B):
+    """Solve M X = B for general (non-symmetric) tiny M: (n, n, L) x
+    (n, k, L) -> (n, k, L).
+
+    Unrolled Gaussian elimination WITHOUT pivoting — callers must pass
+    well-conditioned systems (the parallel-Riccati resolvents I + C J with
+    C, J PSD have spectrum in [1, inf), so this is safe there).
+    """
+    n, k = M.shape[0], B.shape[1]
+    # working copies as python lists of (L,) rows
+    a = [[M[i, j] for j in range(n)] for i in range(n)]
+    b = [[B[i, j] for j in range(k)] for i in range(n)]
+    for col in range(n):
+        piv = a[col][col]
+        inv = 1.0 / piv
+        for j in range(col + 1, n):
+            a[col][j] = a[col][j] * inv
+        for j in range(k):
+            b[col][j] = b[col][j] * inv
+        for row in range(n):
+            if row == col:
+                continue
+            f = a[row][col]
+            for j in range(col + 1, n):
+                a[row][j] = a[row][j] - f * a[col][j]
+            for j in range(k):
+                b[row][j] = b[row][j] - f * b[col][j]
+    return jnp.stack([jnp.stack(b[i], axis=0) for i in range(n)], axis=0)

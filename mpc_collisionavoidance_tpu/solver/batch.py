@@ -52,8 +52,11 @@ def from_lanes(lane):
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax"):
-        """`riccati`: "lax" (scan-based) or "pallas" (fused VMEM kernel;
-        lane count must be a multiple of 128 — see kernels/riccati_pallas)."""
+        """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM kernel;
+        lane count must be a multiple of 128), or "pscan" (associative-scan
+        parallel Riccati, O(log N) depth — see ops/riccati_pscan)."""
+        if riccati not in ("lax", "pallas", "pallas_interpret", "pscan"):
+            raise ValueError(f"unknown riccati backend '{riccati}'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
