@@ -34,19 +34,20 @@ def main():
     lhL = to_lanes(np.broadcast_to(sc.lh, (B, 8)).astype(np.float32))
 
     outs = {}
-    for backend in ("lax", "pallas"):
+    for backend in ("lax", "pallas", "pscan"):
         solver = LaneRTISolver(spec, ipm_iters=12, riccati=backend)
         st = solver.init_state(x0s)
         st, out = jax.jit(solver.step_fn)(st, xL, pL, lhL)
         outs[backend] = np.asarray(out.u0)
         print(f"{backend}: u0[0,:3] = {outs[backend][0, :3]}")
-    du = np.max(np.abs(outs["pallas"] - outs["lax"]))
-    print(f"pallas-vs-lax max|du0| = {du:.2e}  "
-          f"({'OK' if du < 1e-4 else 'MISMATCH'})")
+    for b in ("pallas", "pscan"):
+        du = np.max(np.abs(outs[b] - outs["lax"]))
+        print(f"{b}-vs-lax max|du0| = {du:.2e}  "
+              f"({'OK' if du < 1e-4 else 'MISMATCH'})")
 
     # ---- throughput sweep ----
     results = {}
-    for backend in ("lax", "pallas"):
+    for backend in ("lax", "pallas", "pscan"):
         for B in (1024, 4096, 16384):
             solver = LaneRTISolver(spec, ipm_iters=12, riccati=backend)
             x0b = np.broadcast_to(sc.x0, (B, 8)).copy()
@@ -73,7 +74,7 @@ def main():
                   f"({dt / ticks * 1e3:6.1f} ms/tick)")
 
     best_lax = max(v for (b, _), v in results.items() if b == "lax")
-    best_pal = max(v for (b, _), v in results.items() if b == "pallas")
+    best_pal = max(v for (b, _), v in results.items() if b != "lax")
     print(f"\nbest lax {best_lax:,.0f} vs best pallas {best_pal:,.0f} "
           f"-> {'SWITCH bench.py to pallas' if best_pal > 1.1 * best_lax else 'keep lax default'}")
 
