@@ -57,10 +57,9 @@ def make_sharded_batch_solver(solver: RTISolver, mesh: Mesh,
     the solve itself, so scaling is linear up to batch//devices granularity.
     """
     batched = jax.vmap(solver.step_fn)
-
-    def spec_for(x):
-        return NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
-
+    # sharding follows the inputs: callers place the batch axis over the
+    # mesh with `shard_batch`, and jit propagates those shardings (no
+    # explicit in_shardings needed for this embarrassingly parallel step)
     step = jax.jit(batched, donate_argnums=(0,) if donate else ())
 
     def run(states, x0s, params, lhs=None):
