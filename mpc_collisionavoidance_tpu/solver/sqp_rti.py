@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from mpc_collisionavoidance_tpu.ocp.spec import OCPSpec
 from mpc_collisionavoidance_tpu.ops import linearize
+from mpc_collisionavoidance_tpu.ops.dense_qp import dense_qp_solve
 from mpc_collisionavoidance_tpu.ops.ipm import ipm_solve
 
 
@@ -53,11 +54,26 @@ class RTISolver:
     """
 
     def __init__(self, spec: OCPSpec, ipm_iters: int = 18,
-                 ipm_tol: float = 1e-7):
+                 ipm_tol: float = 1e-7, qp_backend: str = "riccati"):
+        """qp_backend selects the QP engine, mirroring the reference's
+        qp_solver switch (PARTIAL_CONDENSING_HPIPM vs the commented
+        FULL_CONDENSING_QPOASES, scripts/usv_guidance_ca1/
+        acados_settings.py:189-190):
+
+        - "riccati": stagewise IPM with a Riccati lax.scan per iteration
+          (the HPIPM role) — O(N) per iteration, the production path.
+        - "dense": full condensing + dense IPM (the qpOASES role) — one
+          (N*nu)^2 Cholesky per iteration, an independent engine for
+          cross-checks and short horizons.
+        """
+        if qp_backend not in ("riccati", "dense"):
+            raise ValueError(f"unknown qp_backend {qp_backend!r}; "
+                             "expected 'riccati' or 'dense'")
         self.spec = spec
         self.layout = linearize.make_row_layout(spec)
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
+        self.qp_backend = qp_backend
 
     # ---- state management ----
     def init_state(self, x0, dtype=jnp.float32) -> SolverState:
@@ -86,7 +102,8 @@ class RTISolver:
 
         qp = linearize.build_qp(spec, layout, state.xbar, state.ubar,
                                 x0, yref, yref_e, params, lh)
-        sol = ipm_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
+        qp_solve = ipm_solve if self.qp_backend == "riccati" else dense_qp_solve
+        sol = qp_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
 
         # full RTI primal step (acados SQP_RTI takes the unit step)
         xbar = state.xbar + sol.dx
