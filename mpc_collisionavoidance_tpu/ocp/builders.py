@@ -11,7 +11,8 @@ scripts/usv_guidance_ca1/acados_settings.py:92-103).
 import numpy as np
 
 from mpc_collisionavoidance_tpu.models import registry
-from mpc_collisionavoidance_tpu.ocp.spec import LinearLSCost, OCPSpec, SoftPenalty
+from mpc_collisionavoidance_tpu.ocp.spec import (LinearLSCost, OCPSpec,
+                                                 SoftBoxPenalty, SoftPenalty)
 
 
 def _linear_ls(nx, nu, q_diag, r_diag, qe_diag, yref=None, yref_e=None):
@@ -225,6 +226,33 @@ def race_cars(Tf: float = 1.0, N: int = 50) -> OCPSpec:
                    integrator_steps=3)
 
 
+def race_cars_dev(Tf: float = 1.0, N: int = 50) -> OCPSpec:
+    """reference scripts/race_cars/acados_settings_dev.py:32-118 — the dev
+    variant of the race-car OCP: ALL nh=5 h rows softened (idxsh=range(nh),
+    :106), the track-width state bound softened too (nsbx=1, idxsbx=[0] into
+    idxbx=[1], lsbx=usbx=0, :81-85), quadratic slack weights Zl=Zu=1 on top
+    of zl=zu=100 (:66-70), and nlp_solver_type="SQP" with max_iter=200,
+    tol=1e-4 (:112-118) — i.e. drive it with `RTISolver.solve_converged`
+    rather than single RTI ticks.  Cost/unscale identical to race_cars."""
+    base = race_cars(Tf=Tf, N=N)
+    m = base.model
+    ns = m.nh
+    soft = SoftPenalty(
+        idxsh=np.arange(ns),
+        zl=100 * np.ones(ns), Zl=np.ones(ns),
+        zu=100 * np.ones(ns), Zu=np.ones(ns),
+        lsh=np.zeros(ns), ush=np.zeros(ns),
+    )
+    soft_bx = SoftBoxPenalty(
+        idxsbx=np.array([0]),
+        zl=100 * np.ones(1), Zl=np.ones(1),
+        zu=100 * np.ones(1), Zu=np.ones(1),
+        lsbx=np.zeros(1), usbx=np.zeros(1),
+    )
+    return OCPSpec(model=m, N=N, Tf=Tf, cost=base.cost, soft=soft,
+                   soft_bx=soft_bx, integrator_steps=base.integrator_steps)
+
+
 BUILDERS = {
     "usv_acados": usv_acados,
     "usv_low_level": usv_low_level,
@@ -239,6 +267,7 @@ BUILDERS = {
     "usv_guidance_ca": usv_guidance_ca,
     "usv_guidance_ca1": usv_guidance_ca1,
     "race_cars": race_cars,
+    "race_cars_dev": race_cars_dev,
 }
 
 

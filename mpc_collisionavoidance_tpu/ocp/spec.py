@@ -79,12 +79,34 @@ class SoftPenalty:
 
 
 @dataclasses.dataclass(frozen=True)
+class SoftBoxPenalty:
+    """Soft state-box rows (acados idxsbx/lsbx/usbx semantics, used by the
+    reference's race_cars dev variant, scripts/race_cars/
+    acados_settings_dev.py:32-85): row i softens state-box row idxsbx[i]
+    (an index into model.idxbx), relaxing lbx <= x <= ubx with slacks
+    bounded below by lsbx/usbx and penalized with zl/Zl/zu/Zu."""
+
+    idxsbx: np.ndarray  # indices into model.idxbx, (nsbx,)
+    zl: np.ndarray      # (nsbx,)
+    Zl: np.ndarray
+    zu: np.ndarray
+    Zu: np.ndarray
+    lsbx: np.ndarray    # lower bound on lower slack, (nsbx,)
+    usbx: np.ndarray    # lower bound on upper slack, (nsbx,)
+
+    @property
+    def nsbx(self) -> int:
+        return len(self.idxsbx)
+
+
+@dataclasses.dataclass(frozen=True)
 class OCPSpec:
     model: Model
     N: int                      # number of shooting intervals
     Tf: float                   # horizon length [s]
     cost: LinearLSCost
     soft: Optional[SoftPenalty] = None
+    soft_bx: Optional[SoftBoxPenalty] = None
     cost_scaling: str = "dt"    # "dt" (acados default) or "none"
     integrator_steps: int = 1   # RK4 substeps per interval (acados default 1)
 
@@ -104,6 +126,8 @@ class OCPSpec:
         if self.soft is not None:
             assert m.h is not None
             assert np.all(self.soft.idxsh < m.nh)
+        if self.soft_bx is not None:
+            assert np.all(self.soft_bx.idxsbx < len(np.atleast_1d(m.idxbx)))
 
     # ---- convenience: partition of h rows into hard and soft ----
     def hard_h_rows(self) -> np.ndarray:

@@ -32,11 +32,14 @@ class RowLayout(NamedTuple):
     E_u: np.ndarray        # (n_bu, nu) selection for control box
     lbu: np.ndarray
     ubu: np.ndarray
-    E_x: np.ndarray        # (n_bx, nx) selection for state box
+    E_x: np.ndarray        # (n_bx, nx) selection for HARD state-box rows
     lbx: np.ndarray
     ubx: np.ndarray
     hard_h: np.ndarray     # indices of hard h rows
     soft_h: np.ndarray     # indices of softened h rows
+    E_xs: np.ndarray       # (n_sbx, nx) selection for SOFT state-box rows
+    lbx_s: np.ndarray      # (n_sbx,)
+    ubx_s: np.ndarray
     n_hard: int            # total hard rows per stage
 
 
@@ -44,8 +47,18 @@ def make_row_layout(spec: OCPSpec) -> RowLayout:
     m = spec.model
     idxbu = np.asarray(m.idxbu, dtype=np.int64).reshape(-1)
     idxbx = np.asarray(m.idxbx, dtype=np.int64).reshape(-1)
+    lbx = np.asarray(m.lbx, float).reshape(-1)
+    ubx = np.asarray(m.ubx, float).reshape(-1)
     E_u = np.eye(m.nu)[idxbu] if idxbu.size else np.zeros((0, m.nu))
-    E_x = np.eye(m.nx)[idxbx] if idxbx.size else np.zeros((0, m.nx))
+
+    # soft state-box rows (acados idxsbx) leave the hard family
+    sbx = (np.asarray(spec.soft_bx.idxsbx, dtype=np.int64)
+           if spec.soft_bx is not None else np.zeros((0,), dtype=np.int64))
+    hard_bx = np.setdiff1d(np.arange(idxbx.size), sbx)
+    E_x_all = np.eye(m.nx)[idxbx] if idxbx.size else np.zeros((0, m.nx))
+    E_x = E_x_all[hard_bx]
+    E_xs = E_x_all[sbx]
+
     hard_h = spec.hard_h_rows()
     soft_h = (np.asarray(spec.soft.idxsh, dtype=np.int64)
               if spec.soft is not None else np.zeros((0,), dtype=np.int64))
@@ -53,9 +66,10 @@ def make_row_layout(spec: OCPSpec) -> RowLayout:
     return RowLayout(
         E_u=E_u, lbu=np.asarray(m.lbu, float).reshape(-1),
         ubu=np.asarray(m.ubu, float).reshape(-1),
-        E_x=E_x, lbx=np.asarray(m.lbx, float).reshape(-1),
-        ubx=np.asarray(m.ubx, float).reshape(-1),
-        hard_h=hard_h, soft_h=soft_h, n_hard=n_hard,
+        E_x=E_x, lbx=lbx[hard_bx], ubx=ubx[hard_bx],
+        hard_h=hard_h, soft_h=soft_h,
+        E_xs=E_xs, lbx_s=lbx[sbx], ubx_s=ubx[sbx],
+        n_hard=n_hard,
     )
 
 
@@ -155,7 +169,7 @@ def build_qp(spec: OCPSpec,
     gl = jnp.concatenate(
         [bu_lo_gl, bu_hi_gl, bx_lo_gl, bx_hi_gl, hh_lo_gl, hh_hi_gl], axis=1)
 
-    # ---- soft rows ----
+    # ---- soft rows: [ softened h rows | softened state-box rows ] ----
     sh = layout.soft_h
     if sh.size:
         Cx_soft = C[:, sh, :]
@@ -175,6 +189,32 @@ def build_qp(spec: OCPSpec,
         slh = jnp.zeros((N, 0), dtype)
         suh = jnp.zeros((N, 0), dtype)
         zl = Zl = zu = Zu = lsh = ush = jnp.zeros((0,), dtype)
+
+    n_sbx = layout.E_xs.shape[0]
+    if n_sbx:
+        # a softened box row is a soft row with constant Jacobian E_xs; at
+        # stage 0 the state is pinned, so the row is zeroed there with an
+        # O(1) slack band around 0 (same role — and same numeric scale — as
+        # the gl=-1 masking of hard box rows above)
+        E_xs = jnp.asarray(layout.E_xs, dtype)
+        Cx_bx = (jnp.broadcast_to(E_xs, (N, n_sbx, m.nx))
+                 * mvec[:, :1, None])
+        hofs_bx = (xbar[:-1] @ E_xs.T) * mvec[:, :1]
+        slh_bx = jnp.where(stage_mask[:, None],
+                           jnp.asarray(layout.lbx_s, dtype), -1.0)
+        suh_bx = jnp.where(stage_mask[:, None],
+                           jnp.asarray(layout.ubx_s, dtype), 1.0)
+        sb = spec.soft_bx
+        Cx_soft = jnp.concatenate([Cx_soft, Cx_bx], axis=1)
+        hofs = jnp.concatenate([hofs, hofs_bx], axis=1)
+        slh = jnp.concatenate([slh, slh_bx], axis=1)
+        suh = jnp.concatenate([suh, suh_bx], axis=1)
+        zl = jnp.concatenate([zl, scale * jnp.asarray(sb.zl, dtype)])
+        Zl = jnp.concatenate([Zl, scale * jnp.asarray(sb.Zl, dtype)])
+        zu = jnp.concatenate([zu, scale * jnp.asarray(sb.zu, dtype)])
+        Zu = jnp.concatenate([Zu, scale * jnp.asarray(sb.Zu, dtype)])
+        lsh = jnp.concatenate([lsh, jnp.asarray(sb.lsbx, dtype)])
+        ush = jnp.concatenate([ush, jnp.asarray(sb.usbx, dtype)])
 
     return QPData(
         A=A, B=B, c=c, dx0=x0 - xbar[0],
