@@ -29,12 +29,17 @@ def main():
     from mpc_collisionavoidance_tpu.sim import scenarios
     from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver, to_lanes
 
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
-    ticks = int(os.environ.get("BENCH_TICKS", "10"))
+    # B=512 (4 lane blocks) is the measured throughput peak of the pallas
+    # backend on v5e: grid blocks execute sequentially on the TensorCore,
+    # so large batches only stretch the tick while fixed per-tick costs
+    # amortize fully by ~4 blocks (docs/PERF.md)
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    ticks = int(os.environ.get("BENCH_TICKS", "30"))
     ipm_iters = int(os.environ.get("BENCH_IPM_ITERS", "12"))
+    riccati = os.environ.get("BENCH_RICCATI", "pallas")
 
     spec = builders.usv_guidance_ca1()           # Tf=5, N=100
-    solver = LaneRTISolver(spec, ipm_iters=ipm_iters)
+    solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati)
     sc = scenarios.guidance_ca1_default()
 
     rng = np.random.default_rng(0)
@@ -47,8 +52,20 @@ def main():
 
     step = jax.jit(solver.step_fn, donate_argnums=(0,))
 
-    # closed-loop style warmup: feed back stage-1 predictions as next x0
-    for _ in range(3):
+    # closed-loop style warmup: feed back stage-1 predictions as next x0.
+    # If the requested riccati backend fails to compile on this backend
+    # (e.g. pallas on CPU-only runs), fall back to the portable lax path.
+    try:
+        states, outs = step(states, xL, pL, lhL)
+        xL = outs.x1
+    except Exception:
+        solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati="lax")
+        states = solver.init_state(x0s)
+        xL = to_lanes(jnp.asarray(x0s, jnp.float32))
+        step = jax.jit(solver.step_fn, donate_argnums=(0,))
+        states, outs = step(states, xL, pL, lhL)
+        xL = outs.x1
+    for _ in range(2):
         states, outs = step(states, xL, pL, lhL)
         xL = outs.x1
     # NOTE: an explicit scalar fetch is the sync point — on tunneled TPU

@@ -15,10 +15,12 @@ BLASFEO makes for the reference on CPU caches (SURVEY.md N3), transplanted
 to VMEM.
 
 VMEM budget: a 128-lane block of the flagship QP (nx = 8, nu = 1,
-N = 100) is ~7.5 MB of inputs + ~0.9 MB outputs/scratch — comfortably
-inside the ~16 MB/core VMEM.  For larger models (nx = 14 full hull) the
-block still fits at N = 100 only without Q broadcast; callers should fall
-back to the lax path above nx ~ 10 (see `fits_vmem`).
+N = 100) is ~8.3 MB of inputs (double-buffered by the pipeline: ~17 MB)
++ ~1 MB outputs/scratch.  That exceeds the compiler's default 16 MB
+scoped-VMEM limit but sits comfortably inside the v5e core's 128 MB VMEM,
+so the call raises `vmem_limit_bytes` to the block's actual need; the
+nx = 14 full hull at N = 100 (~47 MB double-buffered) also fits (see
+`fits_vmem`).
 """
 
 import functools
@@ -31,16 +33,52 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_BLOCK = 128
 
 
-def fits_vmem(N, nx, nu, lane_block=LANE_BLOCK, budget_bytes=14 * 2**20):
-    """Whether a lane block's QP + scratch fits the VMEM budget."""
-    per_stage = (nx * nx * 2      # A, Q
-                 + nx * nu * 2    # B, S (S is nu x nx)
-                 + nu * nu        # R
-                 + 2 * nx + nu    # c, qx, qu
-                 + nu * nx + nu   # K, kff scratch
-                 + nx + nu)       # dx, du outputs
-    total = (N + 1) * per_stage * lane_block * 4
-    return total < budget_bytes
+def _block_bytes(N, nx, nu, lane_block=LANE_BLOCK):
+    """(input, output+scratch) bytes for one 128-lane block (f32)."""
+    in_per_stage = (nx * nx * 2      # A, Q
+                    + nx * nu * 2    # B, S (S is nu x nx)
+                    + nu * nu        # R
+                    + 2 * nx + nu)   # c, qx, qu
+    aux_per_stage = (nu * nx + nu    # K, kff scratch
+                     + nx + nu)      # dx, du outputs
+    f = (N + 1) * lane_block * 4
+    return in_per_stage * f, aux_per_stage * f + nx * (nx + 1) * lane_block * 4
+
+
+def fits_vmem(N, nx, nu, lane_block=LANE_BLOCK, budget_bytes=100 * 2**20):
+    """Whether a lane block's QP + scratch fits the VMEM budget.
+
+    Inputs are double-buffered by the Pallas pipeline (grid > 1), so they
+    count twice; the budget defaults to ~100 MB of the v5e core's 128 MB
+    VMEM (the compiler's 16 MB default scoped limit is raised per-call via
+    CompilerParams.vmem_limit_bytes below)."""
+    inb, auxb = _block_bytes(N, nx, nu, lane_block)
+    return 2 * inb + auxb < budget_bytes
+
+
+def _mv(M, v):
+    """(i, k, L) x (k, L) -> (i, L) as broadcast FMA + sum.
+
+    Mosaic's dot_general lowering rejects contractions where one operand
+    has no non-contracting dims (the TPU_DotDimensionNumbersAttr fails to
+    parse an empty dim list), so every contraction in the kernel is spelled
+    as elementwise multiply + axis-sum — identical FLOPs, all VPU."""
+    return jnp.sum(M * v[None, :, :], axis=1)
+
+
+def _mtv(M, v):
+    """(k, i, L) x (k, L) -> (i, L) (transpose matvec)."""
+    return jnp.sum(M * v[:, None, :], axis=0)
+
+
+def _mm(X, Y):
+    """(i, k, L) x (k, j, L) -> (i, j, L)."""
+    return jnp.sum(X[:, :, None, :] * Y[None, :, :, :], axis=1)
+
+
+def _mtm(X, Y):
+    """(k, i, L) x (k, j, L) -> (i, j, L) (transpose matmul)."""
+    return jnp.sum(X[:, :, None, :] * Y[:, None, :, :], axis=0)
 
 
 def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
@@ -62,13 +100,13 @@ def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
         s = N - 1 - i
         As = A[s]; Bs = B[s]                             # (nx, nx|nu, L)
         P = P_s[:]; p = p_s[:]
-        # PA/PB/Pc via unrolled broadcast FMAs (all full-lane VPU ops)
-        PA = jnp.einsum("ikl,kjl->ijl", P, As)
-        PB = jnp.einsum("ikl,kjl->ijl", P, Bs)
-        Pc_p = jnp.einsum("ikl,kl->il", P, c[s]) + p
-        Huu = R[s] + jnp.einsum("kil,kjl->ijl", Bs, PB)  # (nu, nu, L)
-        Hux = S[s] + jnp.einsum("kil,kjl->ijl", Bs, PA)  # (nu, nx, L)
-        hu = qu[s] + jnp.einsum("kil,kl->il", Bs, Pc_p)  # (nu, L)
+        # PA/PB/Pc via broadcast FMAs (all full-lane VPU ops)
+        PA = _mm(P, As)
+        PB = _mm(P, Bs)
+        Pc_p = _mv(P, c[s]) + p
+        Huu = R[s] + _mtm(Bs, PB)                        # (nu, nu, L)
+        Hux = S[s] + _mtm(Bs, PA)                        # (nu, nx, L)
+        hu = qu[s] + _mtv(Bs, Pc_p)                      # (nu, L)
 
         # tiny Cholesky of Huu, unrolled (nu <= 2 in the model zoo)
         Lf = [[None] * nu for _ in range(nu)]
@@ -103,11 +141,9 @@ def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
 
         K_s[s] = K
         k_s[s] = kff
-        Pn = (Q[s] + jnp.einsum("kil,kjl->ijl", As, PA)
-              + jnp.einsum("kil,kjl->ijl", Hux, K))
+        Pn = Q[s] + _mtm(As, PA) + _mtm(Hux, K)
         P_s[:] = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
-        p_s[:] = (qx[s] + jnp.einsum("kil,kl->il", As, Pc_p)
-                  + jnp.einsum("kil,kl->il", Hux, kff))
+        p_s[:] = qx[s] + _mtv(As, Pc_p) + _mtv(Hux, kff)
         return 0
 
     jax.lax.fori_loop(0, N, backward, 0)
@@ -116,10 +152,9 @@ def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
 
     def forward(s, _):
         dx = dx_out[s]
-        du = jnp.einsum("ikl,kl->il", K_s[s], dx) + k_s[s]
+        du = _mv(K_s[s], dx) + k_s[s]
         du_out[s] = du
-        dx_out[s + 1] = (jnp.einsum("ikl,kl->il", A[s], dx)
-                         + jnp.einsum("ikl,kl->il", B[s], du) + c[s])
+        dx_out[s + 1] = _mv(A[s], dx) + _mv(B[s], du) + c[s]
         return 0
 
     jax.lax.fori_loop(0, N, forward, 0)
@@ -174,6 +209,14 @@ def lqr_solve_lanes_pallas(d, interpret: bool = False):
             pltpu.VMEM((nx, nx, LANE_BLOCK), dtype),      # P carry
             pltpu.VMEM((nx, LANE_BLOCK), dtype),          # p carry
         ],
+        # the compiler's default scoped-VMEM limit is 16 MB; the flagship
+        # block is ~18 MB with double-buffered inputs, well within the v5e
+        # core's 128 MB VMEM, so raise the cap to what this block needs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                2.2 * _block_bytes(N, nx, nu)[0]
+                + _block_bytes(N, nx, nu)[1] + 4 * 2**20,
+                100 * 2**20))),
         interpret=interpret,
     )(d.A, d.B, d.c, d.Q, d.S, d.R, d.qx, d.qu, d.dx0)
     return dx, du

@@ -56,8 +56,12 @@ def test_pallas_multiblock_lanes():
 
 
 def test_fits_vmem_policy():
-    assert fits_vmem(100, 8, 1)          # flagship
-    assert not fits_vmem(100, 14, 2)     # full hull: fall back to lax
+    # budget = ~100 MB of the v5e core's 128 MB VMEM with double-buffered
+    # inputs (the per-call CompilerParams raise the compiler's 16 MB
+    # scoped default to match)
+    assert fits_vmem(100, 8, 1)          # flagship (~18 MB)
+    assert fits_vmem(100, 14, 2)         # full hull (~51 MB)
+    assert not fits_vmem(100, 24, 2)     # beyond VMEM: fall back to lax
 
 
 def test_lane_engine_with_pallas_backend():
