@@ -58,21 +58,29 @@ class RTServer:
             max_workers=1, thread_name_prefix="nmpc-solve")
 
     # ------------------------------------------------------------------
-    def warmup(self):
-        """Compile both the single-vehicle and batched paths up front so
-        the first real tick meets the latency budget (acados pays this at
-        codegen/compile time; we pay it here)."""
+    def warmup(self, all_buckets: bool = False):
+        """Compile the single-vehicle and batched paths up front so the
+        first real tick meets the latency budget (acados pays this at
+        codegen/compile time; we pay it here).  Batched solves are padded
+        to power-of-two buckets; `all_buckets=True` pre-compiles every
+        bucket up to max_batch (production fleets), the default warms only
+        the smallest (dev startup time)."""
         sc_x0 = np.zeros(protocol.NX, np.float32)
         st = self.solver.init_state(sc_x0)
         p = jnp.zeros(protocol.NP, jnp.float32)
         lh = jnp.zeros(protocol.NH, jnp.float32)
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
         jax.block_until_ready(out.u0)
-        stB = jax.vmap(lambda _: self.solver.init_state(sc_x0))(jnp.arange(2))
-        xB = jnp.zeros((2, protocol.NX), jnp.float32)
-        _, outB = self._stepB(stB, xB, jnp.zeros((2, protocol.NP)),
-                              jnp.zeros((2, protocol.NH)))
-        jax.block_until_ready(outB.u0)
+        buckets = ([1 << k for k in range(1, (self.max_batch - 1)
+                                          .bit_length() + 1)]
+                   if all_buckets else [2])
+        for b in buckets:
+            stB = jax.vmap(lambda _: self.solver.init_state(sc_x0))(
+                jnp.arange(b))
+            xB = jnp.zeros((b, protocol.NX), jnp.float32)
+            _, outB = self._stepB(stB, xB, jnp.zeros((b, protocol.NP)),
+                                  jnp.zeros((b, protocol.NH)))
+            jax.block_until_ready(outB.u0)
         # warm the dispatch path ON THE SOLVE THREAD — the first solve from
         # a worker thread pays extra overhead that must not hit tick 0
         self._executor.submit(self._prewarm).result()
@@ -159,12 +167,23 @@ class RTServer:
             self._reply(fut, req, out.status, out.u0, out.x1)
             return
 
-        states = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[self._vehicles[vid].state for vid, _, _ in batch])
-        x0 = jnp.asarray([r.x0 for _, r, _ in batch], jnp.float32)
-        p = jnp.asarray([r.p_obs for _, r, _ in batch], jnp.float32)
-        lh = jnp.asarray([r.r_obs for _, r, _ in batch], jnp.float32)
+        # pad to the next power-of-two bucket: jit caches one executable
+        # per shape, so buckets bound the number of compiles to
+        # log2(max_batch) instead of max_batch (a fresh fleet size would
+        # otherwise stall its first tick on a full XLA compile)
+        n = len(batch)
+        bucket = 1 << (n - 1).bit_length()
+        pad = bucket - n
+        veh_states = [self._vehicles[vid].state for vid, _, _ in batch]
+        veh_states += [veh_states[0]] * pad
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *veh_states)
+        row0 = batch[0][1]
+        x0 = jnp.asarray([r.x0 for _, r, _ in batch]
+                         + [row0.x0] * pad, jnp.float32)
+        p = jnp.asarray([r.p_obs for _, r, _ in batch]
+                        + [row0.p_obs] * pad, jnp.float32)
+        lh = jnp.asarray([r.r_obs for _, r, _ in batch]
+                         + [row0.r_obs] * pad, jnp.float32)
         new_states, outs = self._stepB(states, x0, p, lh)
         for i, (vid, req, fut) in enumerate(batch):
             self._vehicles[vid].state = jax.tree.map(
@@ -180,9 +199,9 @@ class RTServer:
         fut.get_loop().call_soon_threadsafe(fut.set_result, resp)
 
 
-async def _amain(path: str, **kw):
+async def _amain(path: str, warm_all: bool = False, **kw):
     server = RTServer(path, **kw)
-    server.warmup()
+    server.warmup(all_buckets=warm_all)
     await server.start()
     print(f"rt server listening on {path}", flush=True)
     await asyncio.Event().wait()
@@ -201,12 +220,16 @@ def main(argv=None):
     parser.add_argument("-N", type=int, default=100)
     parser.add_argument("--tf", type=float, default=5.0)
     parser.add_argument("--ipm-iters", type=int, default=8)
+    parser.add_argument("--warm-all", action="store_true",
+                        help="pre-compile every power-of-two batch bucket "
+                             "up to max_batch at startup (production "
+                             "fleets; dev default warms only bucket 2)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_default_device",
                           jax.devices(args.platform)[0])
-    asyncio.run(_amain(args.socket, N=args.N, Tf=args.tf,
-                       ipm_iters=args.ipm_iters))
+    asyncio.run(_amain(args.socket, warm_all=args.warm_all,
+                       N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters))
 
 
 if __name__ == "__main__":

@@ -131,3 +131,37 @@ def test_cpp_client_closed_loop(tmp_path):
     # vehicle converged (demo already asserts |ye| < 0.5; sanity-check log)
     final_ye = float(out.stdout.rsplit("final_ye", 1)[1])
     assert abs(final_ye) < 0.5
+
+
+def test_server_bucket_padding(tmp_path):
+    """Three concurrent vehicles land in one padded power-of-two batch
+    (bucket 4) and each gets its own correct reply; a lone follow-up from
+    each vehicle then reuses its warm-started state (seq echoes back)."""
+    sock = tmp_path / "nmpc.sock"
+    with _ServerThread(sock, N=20, Tf=1.0, ipm_iters=6,
+                       batch_window_ms=50.0) as srv:
+        ak = math.pi / 2
+        yes = (-4.0, -2.0, 3.0)
+
+        def solve_one(i):
+            req = protocol.Request(
+                seq=100 + i, x0=(0.7, 0.0, yes[i], -ak, -ak, 0.0, 0.0, 0.0),
+                p_obs=tuple([100.0] * 16), r_obs=tuple([0.0] * 8))
+            return _python_client_solve(sock, req)
+
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(3) as ex:
+            resps = list(ex.map(solve_one, range(3)))
+        for i, resp in enumerate(resps):
+            assert resp.seq == 100 + i
+            assert resp.status in (0, 1)
+            assert np.isfinite(resp.u0)
+        # each vehicle's reply carries ITS OWN predicted state (padding must
+        # not mix rows): the stage-1 cross-track errors track the requests
+        # (u0 is legitimately near-identical on a cold tick — the chi_e
+        # error saturates the first RTI response regardless of ye)
+        x1_ye = [r.x1[2] for r in resps]
+        for i in range(3):
+            assert abs(x1_ye[i] - yes[i]) < 0.5, (i, x1_ye[i])
+        # only power-of-two executables were compiled for the batched path
+        assert srv.server._stepB._cache_size() <= 2
