@@ -20,6 +20,7 @@ Run standalone:  python -m mpc_collisionavoidance_tpu.rt.server /tmp/nmpc.sock
 import asyncio
 import concurrent.futures
 import dataclasses
+import threading
 from typing import Dict, Optional
 
 import jax
@@ -29,6 +30,10 @@ import numpy as np
 from mpc_collisionavoidance_tpu.ocp import builders
 from mpc_collisionavoidance_tpu.rt import protocol
 from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver, SolverState
+
+#: reply status when a lane-engine fleet is at capacity (all lanes taken);
+#: distinct from the solver's 0 ok / 1 not converged / 2 NaN codes
+STATUS_OVER_CAPACITY = 3
 
 
 @dataclasses.dataclass
@@ -40,10 +45,28 @@ class _Vehicle:
 class RTServer:
     def __init__(self, path: str, N: int = 100, Tf: float = 5.0,
                  ipm_iters: int = 8, batch_window_ms: float = 2.0,
-                 max_batch: int = 128):
+                 max_batch: int = 128, engine: str = "vmap",
+                 riccati: str = "lax"):
+        """`engine` selects the fleet compute path:
+
+        - "vmap" (default): per-request batches through the vmapped
+          per-instance solver, padded to power-of-two buckets. Latency
+          scales with the instantaneous batch size; no fleet-size cap.
+        - "lane": the production lane engine (solver/batch.py) with a
+          FIXED lane width of `max_batch` — every tick solves all lanes
+          in ONE executable (pad `max_batch` to a multiple of 128 and set
+          riccati="pallas" on TPU for the fused kernel). Tick cost is flat
+          regardless of fleet size; vehicles beyond `max_batch` get
+          status=STATUS_OVER_CAPACITY replies until a lane frees up.
+          Idle lanes re-solve their last request, which only deepens
+          their warm start (RTI iterated at a fixed x0 converges).
+        """
+        if engine not in ("vmap", "lane"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.path = path
-        self.solver = RTISolver(builders.usv_guidance_ca1(Tf=Tf, N=N),
-                                ipm_iters=ipm_iters)
+        spec = builders.usv_guidance_ca1(Tf=Tf, N=N)
+        self.engine = engine
+        self.solver = RTISolver(spec, ipm_iters=ipm_iters)
         self.batch_window = batch_window_ms / 1e3
         self.max_batch = max_batch
         self._step1 = jax.jit(self.solver.step_fn)
@@ -56,6 +79,23 @@ class RTServer:
         # device), and owning it lets warmup() pre-warm exactly this thread
         self._executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="nmpc-solve")
+
+        if engine == "lane":
+            from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
+            L = max_batch
+            self.lane_solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
+                                             riccati=riccati)
+            self._lane_lock = threading.Lock()
+            self._lanes_free = list(reversed(range(L)))
+            self._lane_of: Dict[int, int] = {}
+            # host-side last-request rows (lane-indexed); sentinel obstacle
+            # params keep unassigned lanes on benign far-away problems
+            self._x0_rows = np.zeros((L, protocol.NX), np.float32)
+            self._p_rows = np.full((L, protocol.NP), 100.0, np.float32)
+            self._lh_rows = np.zeros((L, protocol.NH), np.float32)
+            self._lane_state = self.lane_solver.init_state(self._x0_rows)
+            self._lane_step = jax.jit(self.lane_solver.step_fn,
+                                      donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def warmup(self, all_buckets: bool = False):
@@ -71,6 +111,19 @@ class RTServer:
         lh = jnp.zeros(protocol.NH, jnp.float32)
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
         jax.block_until_ready(out.u0)
+        if self.engine == "lane":
+            # lane mode has exactly one executable: compile it, then restore
+            # the pristine parked state (the donated buffer is consumed)
+            from mpc_collisionavoidance_tpu.solver.batch import to_lanes
+            st_l, out_l = self._lane_step(
+                self._lane_state,
+                to_lanes(jnp.asarray(self._x0_rows)),
+                to_lanes(jnp.asarray(self._p_rows)),
+                to_lanes(jnp.asarray(self._lh_rows)))
+            jax.block_until_ready(out_l.u0)
+            self._lane_state = self.lane_solver.init_state(self._x0_rows)
+            self._executor.submit(self._prewarm).result()
+            return
         buckets = ([1 << k for k in range(1, (self.max_batch - 1)
                                           .bit_length() + 1)]
                    if all_buckets else [2])
@@ -113,7 +166,7 @@ class RTServer:
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
         finally:
-            self._vehicles.pop(vid, None)
+            self._release_vehicle(vid)
             writer.close()
 
     # ------------------------------------------------------------------
@@ -150,6 +203,9 @@ class RTServer:
 
     # ------------------------------------------------------------------
     def _solve_batch(self, batch):
+        if self.engine == "lane":
+            self._solve_batch_lane(batch)
+            return
         for vid, req, _ in batch:
             if vid not in self._vehicles:
                 self._vehicles[vid] = _Vehicle(
@@ -190,6 +246,62 @@ class RTServer:
                 lambda a, idx=i: a[idx], new_states)
             self._reply(fut, req, outs.status[i], outs.u0[i], outs.x1[i])
 
+    def _solve_batch_lane(self, batch):
+        """One fixed-width lane-engine tick serving every queued request.
+
+        All `max_batch` lanes solve every tick (flat cost, one executable);
+        requests update their lane's x0/params rows first, replies read
+        their lane's column of the outputs."""
+        from mpc_collisionavoidance_tpu.solver.batch import to_lanes
+
+        live = []
+        for vid, req, fut in batch:
+            with self._lane_lock:
+                lane = self._lane_of.get(vid)
+                if lane is None:
+                    if not self._lanes_free:
+                        self._reply(fut, req, STATUS_OVER_CAPACITY, 0.0,
+                                    np.zeros(protocol.NX, np.float32))
+                        continue
+                    lane = self._lanes_free.pop()
+                    self._lane_of[vid] = lane
+                    # cold lane: seed the warm start from this x0
+                    x0 = jnp.asarray(req.x0, jnp.float32)
+                    self._lane_state = self._lane_state._replace(
+                        xbar=self._lane_state.xbar.at[:, :, lane].set(
+                            x0[:, None]),
+                        ubar=self._lane_state.ubar.at[:, :, lane].set(0.0))
+            self._x0_rows[lane] = req.x0
+            self._p_rows[lane] = req.p_obs
+            self._lh_rows[lane] = req.r_obs
+            live.append((lane, req, fut))
+
+        if not live:
+            return
+        new_state, outs = self._lane_step(
+            self._lane_state,
+            to_lanes(jnp.asarray(self._x0_rows)),
+            to_lanes(jnp.asarray(self._p_rows)),
+            to_lanes(jnp.asarray(self._lh_rows)))
+        self._lane_state = new_state
+        u0 = np.asarray(outs.u0)          # (nu, L)
+        x1 = np.asarray(outs.x1)          # (nx, L)
+        status = np.asarray(outs.status)  # (L,)
+        for lane, req, fut in live:
+            self._reply(fut, req, status[lane], u0[:, lane], x1[:, lane])
+
+    def _release_vehicle(self, vid):
+        self._vehicles.pop(vid, None)
+        if self.engine == "lane":
+            with self._lane_lock:
+                lane = self._lane_of.pop(vid, None)
+                if lane is not None:
+                    self._lanes_free.append(lane)
+                    # park the freed lane on the benign sentinel problem
+                    self._x0_rows[lane] = 0.0
+                    self._p_rows[lane] = 100.0
+                    self._lh_rows[lane] = 0.0
+
     @staticmethod
     def _reply(fut, req, status, u0, x1):
         resp = protocol.Response(
@@ -224,12 +336,23 @@ def main(argv=None):
                         help="pre-compile every power-of-two batch bucket "
                              "up to max_batch at startup (production "
                              "fleets; dev default warms only bucket 2)")
+    parser.add_argument("--engine", default="vmap",
+                        choices=("vmap", "lane"),
+                        help="fleet compute path: vmap (elastic batches) "
+                             "or lane (fixed-width lane engine, flat tick "
+                             "cost; pair with --riccati pallas on TPU)")
+    parser.add_argument("--riccati", default="lax",
+                        choices=("lax", "pallas", "pscan"),
+                        help="lane-engine Riccati backend")
+    parser.add_argument("--max-batch", type=int, default=128)
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_default_device",
                           jax.devices(args.platform)[0])
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
-                       N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters))
+                       N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters,
+                       engine=args.engine, riccati=args.riccati,
+                       max_batch=args.max_batch))
 
 
 if __name__ == "__main__":

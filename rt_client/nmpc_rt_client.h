@@ -44,7 +44,9 @@ typedef struct {
 typedef struct {
   uint32_t magic; /* NMPC_RT_RESP_MAGIC */
   uint32_t seq;
-  uint32_t status; /* 0 ok / 1 qp not converged / 2 numerical failure */
+  uint32_t status; /* 0 ok / 1 qp not converged / 2 numerical failure /
+                      3 fleet over capacity (lane engine: retry after a
+                      vehicle disconnects; command fields are zeros) */
   float u0;
   float x1[NMPC_RT_NX];
 } nmpc_rt_response;

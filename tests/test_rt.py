@@ -165,3 +165,56 @@ def test_server_bucket_padding(tmp_path):
             assert abs(x1_ye[i] - yes[i]) < 0.5, (i, x1_ye[i])
         # only power-of-two executables were compiled for the batched path
         assert srv.server._stepB._cache_size() <= 2
+
+
+def test_server_lane_engine(tmp_path):
+    """Lane-engine serving mode: fixed 4-lane width, three vehicles share
+    one flat-cost tick; a fourth is rejected with the over-capacity status
+    while all lanes are held, and a freed lane is reusable."""
+    from mpc_collisionavoidance_tpu.rt.server import STATUS_OVER_CAPACITY
+
+    sock = tmp_path / "nmpc.sock"
+    with _ServerThread(sock, N=20, Tf=1.0, ipm_iters=6, engine="lane",
+                       max_batch=4, batch_window_ms=50.0):
+        import socket as socketlib
+
+        ak = math.pi / 2
+        yes = (-4.0, -2.0, 3.0, 1.0)
+
+        def connect_and_solve(i, sock_obj=None):
+            s = sock_obj or socketlib.socket(socketlib.AF_UNIX,
+                                             socketlib.SOCK_STREAM)
+            if sock_obj is None:
+                s.connect(str(sock))
+            req = protocol.Request(
+                seq=200 + i, x0=(0.7, 0.0, yes[i], -ak, -ak, 0.0, 0.0, 0.0),
+                p_obs=tuple([100.0] * 16), r_obs=tuple([0.0] * 8))
+            s.sendall(protocol.pack_request(req))
+            buf = b""
+            while len(buf) < protocol.RESP_SIZE:
+                buf += s.recv(protocol.RESP_SIZE - len(buf))
+            return s, protocol.unpack_response(buf)
+
+        # hold 4 persistent connections -> all 4 lanes taken
+        socks = []
+        for i in range(4):
+            s, resp = connect_and_solve(i)
+            socks.append(s)
+            assert resp.seq == 200 + i
+            assert resp.status in (0, 1)
+            assert abs(resp.x1[2] - yes[i]) < 0.5   # own trajectory echoed
+        # 5th vehicle: over capacity
+        s5, resp5 = connect_and_solve(0)
+        assert resp5.status == STATUS_OVER_CAPACITY
+        s5.close()
+        # repeated tick on a held connection reuses the warm lane
+        _, again = connect_and_solve(0, sock_obj=socks[0])
+        assert again.status in (0, 1)
+        # free one lane, a new vehicle can join
+        socks[3].close()
+        time.sleep(0.3)
+        s6, resp6 = connect_and_solve(1)
+        assert resp6.status in (0, 1)
+        s6.close()
+        for s in socks[:3]:
+            s.close()
