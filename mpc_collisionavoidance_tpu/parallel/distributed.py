@@ -67,6 +67,26 @@ def global_scenario_mesh(axis_name: str = "dp",
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def shard_batch_global(mesh: Mesh, tree, axis_name: str = "dp"):
+    """Multi-process version of `sharding.shard_batch`: assemble GLOBAL
+    batch-sharded arrays from each process's local shard.
+
+    Each process passes its LOCAL slice (shape (B_local, ...)); the result
+    is a global array of shape (B_local * process_count, ...) with the
+    batch axis sharded over the full mesh.  On a single process this
+    degrades to exactly `shard_batch`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(
+            mesh, P(axis_name, *([None] * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, tree)
+
+
 def per_process_batch(global_batch: int) -> int:
     """Split a global scenario count into this process's share (equal
     shards; global_batch must divide evenly for fixed shapes)."""
