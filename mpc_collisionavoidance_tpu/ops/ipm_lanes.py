@@ -84,7 +84,8 @@ def ipm_solve_lanes(qp: LaneQP,
                     sigma: float = 0.1,
                     tol: float = 1e-7,
                     mu0: float = 1.0,
-                    riccati: str = "lax") -> LaneIPMSolution:
+                    riccati: str = "lax",
+                    fused_static=None) -> LaneIPMSolution:
     N, nx, nu, L = qp.B.shape[0], qp.A.shape[1], qp.B.shape[2], qp.B.shape[-1]
     nbu, nbx = len(idxbu), len(idxbx)
     nHh = qp.Ch.shape[1]
@@ -95,6 +96,25 @@ def ipm_solve_lanes(qp: LaneQP,
 
     idxbu = tuple(int(i) for i in idxbu)
     idxbx = tuple(int(i) for i in idxbx)
+
+    if riccati.startswith("fused"):
+        # whole-IPM Pallas kernel: QP + iterates resident in VMEM for all
+        # `iters` iterations (kernels/ipm_pallas.py); this lax-level body
+        # is bypassed entirely
+        from mpc_collisionavoidance_tpu.kernels.ipm_pallas import (
+            fused_ipm_lanes)
+        dx, du, gap, eq_res = fused_ipm_lanes(
+            qp, idxbu, idxbx, iters=iters, tau=tau, sigma=sigma, mu0=mu0,
+            interpret=riccati == "fused_interpret", static=fused_static)
+        finite = (jnp.isfinite(gap)
+                  & jnp.all(jnp.isfinite(dx), axis=(0, 1))
+                  & jnp.all(jnp.isfinite(du), axis=(0, 1)))
+        eff_tol = tol if dtype == jnp.float64 else max(tol, 5e-7)
+        converged = (gap < eff_tol) & (eq_res < 1e3 * eff_tol)
+        status = jnp.where(finite, jnp.where(converged, 0, 1),
+                           2).astype(jnp.int32)
+        return LaneIPMSolution(dx=dx, du=du, gap=gap, eq_res=eq_res,
+                               status=status)
 
     if riccati.startswith("pallas"):
         import functools as _ft

@@ -52,16 +52,36 @@ def from_lanes(lane):
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax"):
-        """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM kernel;
-        lane count must be a multiple of 128), or "pscan" (associative-scan
-        parallel Riccati, O(log N) depth — see ops/riccati_pscan)."""
-        if riccati not in ("lax", "pallas", "pallas_interpret", "pscan"):
+        """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
+        kernel; lane count must be a multiple of 128), "pscan"
+        (associative-scan parallel Riccati, O(log N) depth — see
+        ops/riccati_pscan), or "fused" (the ENTIRE IPM as one Pallas
+        kernel, kernels/ipm_pallas.py — fastest on TPU)."""
+        if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
+                           "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.riccati = riccati
         m = spec.model
+        # static numpy cost blocks / slack weights: the fused IPM kernel
+        # bakes these in as immediates (under jit the LaneQP fields are
+        # tracers, so they must come from the static spec)
+        Vx = np.asarray(spec.cost.Vx); Vu = np.asarray(spec.cost.Vu)
+        W = np.asarray(spec.cost.W)
+        Vx_e = np.asarray(spec.cost.Vx_e); W_e = np.asarray(spec.cost.W_e)
+        scale = spec.stage_scale
+        self._fused_static = {
+            "Qc": scale * (Vx.T @ W @ Vx), "QN": Vx_e.T @ W_e @ Vx_e,
+            "Sc": scale * (Vu.T @ W @ Vx), "Rc": scale * (Vu.T @ W @ Vu),
+        }
+        if spec.soft is not None:
+            sp = spec.soft
+            self._fused_static.update(
+                zl=scale * np.asarray(sp.zl), Zl=scale * np.asarray(sp.Zl),
+                zu=scale * np.asarray(sp.zu), Zu=scale * np.asarray(sp.Zu),
+                lsh=np.asarray(sp.lsh), ush=np.asarray(sp.ush))
         self.idxbu = tuple(int(i) for i in np.asarray(m.idxbu).reshape(-1))
         self.idxbx = tuple(int(i) for i in np.asarray(m.idxbx).reshape(-1))
         if spec.soft is not None:
@@ -230,7 +250,8 @@ class LaneRTISolver:
         qp = self._build_qp(state, x0, params, lh)
         sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
                               iters=self.ipm_iters, tol=self.ipm_tol,
-                              riccati=self.riccati)
+                              riccati=self.riccati,
+                              fused_static=self._fused_static)
         xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
         ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
         new_state = LaneState(xbar=xbar, ubar=ubar)
