@@ -58,7 +58,11 @@ def main():
     try:
         states, outs = step(states, xL, pL, lhL)
         xL = outs.x1
-    except Exception:
+    except Exception as e:
+        import sys
+        print(f"bench: riccati={riccati!r} failed ({type(e).__name__}); "
+              "falling back to 'lax'", file=sys.stderr)
+        riccati = "lax"
         solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati="lax")
         states = solver.init_state(x0s)
         xL = to_lanes(jnp.asarray(x0s, jnp.float32))
@@ -86,6 +90,7 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 3),
+        "backend": riccati,
     }))
 
 

@@ -474,6 +474,8 @@ def fused_ipm_lanes(qp, idxbu: Tuple[int, ...], idxbx: Tuple[int, ...],
 
             fin = (jnp.isfinite(alpha)
                    & (jnp.min(jnp.where(jnp.isfinite(r["Ddx"][:]), 1.0, 0.0),
+                              axis=(0, 1), keepdims=True) > 0.5)
+                   & (jnp.min(jnp.where(jnp.isfinite(Ddu), 1.0, 0.0),
                               axis=(0, 1), keepdims=True) > 0.5))
             keep = (gap <= gap_floor) | ~fin
             alpha = jnp.where(keep, 0.0, alpha)

@@ -45,15 +45,22 @@ def _block_bytes(N, nx, nu, lane_block=LANE_BLOCK):
     return in_per_stage * f, aux_per_stage * f + nx * (nx + 1) * lane_block * 4
 
 
+def _vmem_request(N, nx, nu, lane_block=LANE_BLOCK):
+    """Bytes of scoped VMEM the kernel asks the compiler for: inputs are
+    double-buffered by the Pallas pipeline (2.2x for slack), plus
+    outputs/scratch and 4 MB of compiler headroom."""
+    inb, auxb = _block_bytes(N, nx, nu, lane_block)
+    return int(2.2 * inb + auxb + 4 * 2**20)
+
+
 def fits_vmem(N, nx, nu, lane_block=LANE_BLOCK, budget_bytes=100 * 2**20):
     """Whether a lane block's QP + scratch fits the VMEM budget.
 
-    Inputs are double-buffered by the Pallas pipeline (grid > 1), so they
-    count twice; the budget defaults to ~100 MB of the v5e core's 128 MB
-    VMEM (the compiler's 16 MB default scoped limit is raised per-call via
-    CompilerParams.vmem_limit_bytes below)."""
-    inb, auxb = _block_bytes(N, nx, nu, lane_block)
-    return 2 * inb + auxb < budget_bytes
+    Uses the SAME formula as the per-call CompilerParams request below, so
+    a True verdict guarantees the request is within ~100 MB of the v5e
+    core's 128 MB VMEM (the compiler's 16 MB default scoped limit is
+    raised per-call)."""
+    return _vmem_request(N, nx, nu, lane_block) < budget_bytes
 
 
 def _mv(M, v):
@@ -213,10 +220,7 @@ def lqr_solve_lanes_pallas(d, interpret: bool = False):
         # block is ~18 MB with double-buffered inputs, well within the v5e
         # core's 128 MB VMEM, so raise the cap to what this block needs
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(
-                2.2 * _block_bytes(N, nx, nu)[0]
-                + _block_bytes(N, nx, nu)[1] + 4 * 2**20,
-                100 * 2**20))),
+            vmem_limit_bytes=min(_vmem_request(N, nx, nu), 100 * 2**20)),
         interpret=interpret,
     )(d.A, d.B, d.c, d.Q, d.S, d.R, d.qx, d.qu, d.dx0)
     return dx, du

@@ -255,8 +255,11 @@ class RTServer:
         from mpc_collisionavoidance_tpu.solver.batch import to_lanes
 
         live = []
-        for vid, req, fut in batch:
-            with self._lane_lock:
+        # the lock covers lane assignment AND the host row arrays — the
+        # event-loop thread parks freed lanes' rows in _release_vehicle
+        # under the same lock, so the device snapshot below cannot tear
+        with self._lane_lock:
+            for vid, req, fut in batch:
                 lane = self._lane_of.get(vid)
                 if lane is None:
                     if not self._lanes_free:
@@ -271,18 +274,18 @@ class RTServer:
                         xbar=self._lane_state.xbar.at[:, :, lane].set(
                             x0[:, None]),
                         ubar=self._lane_state.ubar.at[:, :, lane].set(0.0))
-            self._x0_rows[lane] = req.x0
-            self._p_rows[lane] = req.p_obs
-            self._lh_rows[lane] = req.r_obs
-            live.append((lane, req, fut))
+                self._x0_rows[lane] = req.x0
+                self._p_rows[lane] = req.p_obs
+                self._lh_rows[lane] = req.r_obs
+                live.append((lane, req, fut))
+            if not live:
+                return
+            xLane = to_lanes(jnp.asarray(self._x0_rows))
+            pLane = to_lanes(jnp.asarray(self._p_rows))
+            lhLane = to_lanes(jnp.asarray(self._lh_rows))
 
-        if not live:
-            return
         new_state, outs = self._lane_step(
-            self._lane_state,
-            to_lanes(jnp.asarray(self._x0_rows)),
-            to_lanes(jnp.asarray(self._p_rows)),
-            to_lanes(jnp.asarray(self._lh_rows)))
+            self._lane_state, xLane, pLane, lhLane)
         self._lane_state = new_state
         u0 = np.asarray(outs.u0)          # (nu, L)
         x1 = np.asarray(outs.x1)          # (nx, L)
@@ -342,7 +345,7 @@ def main(argv=None):
                              "or lane (fixed-width lane engine, flat tick "
                              "cost; pair with --riccati pallas on TPU)")
     parser.add_argument("--riccati", default="lax",
-                        choices=("lax", "pallas", "pscan"),
+                        choices=("lax", "pallas", "pscan", "fused"),
                         help="lane-engine Riccati backend")
     parser.add_argument("--max-batch", type=int, default=128)
     args = parser.parse_args(argv)

@@ -60,6 +60,11 @@ class LaneRTISolver:
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
+        if spec.soft_bx is not None:
+            raise NotImplementedError(
+                "LaneRTISolver does not support soft state-box rows "
+                "(spec.soft_bx) — use RTISolver for specs like "
+                "race_cars_dev, or harden the bound")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
@@ -136,12 +141,14 @@ class LaneRTISolver:
         A, Bm = J[:, :, :nx, :], J[:, :, nx:, :]
         c = jnp.moveaxis(x_next - xbar[:, 1:, :], 0, 1)    # (N, nx, L)
 
-        # ---- cost ----
+        # ---- cost (blocks precomputed once in __init__; the fused IPM
+        # kernel bakes the SAME numpy values, so the two paths cannot
+        # desynchronize) ----
         Vx = np.asarray(spec.cost.Vx); Vu = np.asarray(spec.cost.Vu)
         W = np.asarray(spec.cost.W)
-        Qc = jnp.asarray(scale * (Vx.T @ W @ Vx), dtype)
-        Rc = jnp.asarray(scale * (Vu.T @ W @ Vu), dtype)
-        Sc = jnp.asarray(scale * (Vu.T @ W @ Vx), dtype)
+        Qc = jnp.asarray(self._fused_static["Qc"], dtype)
+        Rc = jnp.asarray(self._fused_static["Rc"], dtype)
+        Sc = jnp.asarray(self._fused_static["Sc"], dtype)
         M_x = jnp.asarray(scale * (Vx.T @ W), dtype)       # (nx, ny)
         M_u = jnp.asarray(scale * (Vu.T @ W), dtype)       # (nu, ny)
         yref = jnp.asarray(spec.cost.yref, dtype)[:, None, None]
@@ -153,7 +160,7 @@ class LaneRTISolver:
         qu = jnp.moveaxis(
             jnp.tensordot(M_u, y, axes=[[1], [0]]), 0, 1)  # (N, nu, L)
         Vx_e = np.asarray(spec.cost.Vx_e); W_e = np.asarray(spec.cost.W_e)
-        QN = jnp.asarray(Vx_e.T @ W_e @ Vx_e, dtype)
+        QN = jnp.asarray(self._fused_static["QN"], dtype)
         yN = (jnp.tensordot(jnp.asarray(Vx_e, dtype), xbar[:, -1, :],
                             axes=[[1], [0]])
               - jnp.asarray(spec.cost.yref_e, dtype)[:, None])
