@@ -23,17 +23,25 @@ class SolverConfig:
     engine: str = "lane"          # "lane" (throughput) | "instance" (vmap)
     ipm_iters: int = 12
     ipm_tol: float = 1e-7
-    riccati: str = "lax"          # "lax" | "pallas" | "pscan" (lane engine)
+    riccati: str = "lax"          # lane engine: "lax" | "pallas" | "pscan"
+                                  # | "fused" (whole-IPM kernel)
+    qp_backend: str = "riccati"   # instance engine: "riccati" | "dense"
+                                  # (full condensing, the qpOASES role)
     dtype: str = "float32"
 
     def __post_init__(self):
         if self.engine not in ("lane", "instance"):
             raise ValueError(f"unknown engine '{self.engine}'")
         if self.riccati not in ("lax", "pallas", "pallas_interpret",
-                                "pscan"):
+                                "pscan", "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{self.riccati}'")
+        if self.qp_backend not in ("riccati", "dense"):
+            raise ValueError(f"unknown qp_backend '{self.qp_backend}'")
         if self.engine == "instance" and self.riccati != "lax":
             raise ValueError("pallas riccati requires the lane engine")
+        if self.engine == "lane" and self.qp_backend != "riccati":
+            raise ValueError("the dense QP backend requires the "
+                             "instance engine")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,7 +82,8 @@ class FrameworkConfig:
                                  riccati=self.solver.riccati)
         from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
         return RTISolver(spec, ipm_iters=self.solver.ipm_iters,
-                         ipm_tol=self.solver.ipm_tol)
+                         ipm_tol=self.solver.ipm_tol,
+                         qp_backend=self.solver.qp_backend)
 
     # ------------------------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:
