@@ -62,9 +62,10 @@ class FrameworkConfig:
         default_factory=ParallelConfig)
 
     def __post_init__(self):
-        if self.model not in registry.names():
+        known = sorted(set(registry.names()) | set(builders.BUILDERS))
+        if self.model not in known:
             raise ValueError(
-                f"unknown model '{self.model}'; known: {registry.names()}")
+                f"unknown model '{self.model}'; known: {known}")
         if self.N < 1 or self.Tf <= 0:
             raise ValueError(f"bad horizon N={self.N}, Tf={self.Tf}")
 

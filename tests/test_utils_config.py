@@ -119,3 +119,21 @@ def test_distributed_single_process(monkeypatch):
     assert distributed.per_process_batch(64) == 16
     with pytest.raises(ValueError, match="not divisible"):
         distributed.per_process_batch(7)
+
+
+def test_config_builder_only_variant():
+    """race_cars_dev is a builder (no separate model): reachable via config
+    with the instance engine; the lane engine refuses its soft state box
+    with a clear error instead of silently hardening it."""
+    import pytest
+
+    from mpc_collisionavoidance_tpu.config import FrameworkConfig, SolverConfig
+
+    cfg = FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4,
+                          solver=SolverConfig(engine="instance"))
+    solver = cfg.build_solver()
+    assert type(solver).__name__ == "RTISolver"
+    assert cfg.build_spec().soft_bx is not None
+
+    with pytest.raises(NotImplementedError):
+        FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4).build_solver()
