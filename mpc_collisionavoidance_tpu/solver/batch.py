@@ -132,12 +132,13 @@ class LaneRTISolver:
 
         xu = jnp.concatenate([xs, ubar], axis=0)           # (nxu, N, L)
         x_next, lin = jax.linearize(F, xu)
-        eye = np.eye(nx + nu)
-        cols = [lin(jnp.broadcast_to(
-            jnp.asarray(eye[j], dtype)[:, None, None], xu.shape))
-            for j in range(nx + nu)]
-        J = jnp.stack(cols, axis=1)                        # (nx, nxu, N, L)
-        J = jnp.transpose(J, (2, 0, 1, 3))                 # (N, nx, nxu, L)
+        # all nx+nu basis tangents in ONE vmapped pass (the linearized
+        # rollout is traced once; the basis axis becomes a batch axis)
+        basis = jnp.broadcast_to(
+            jnp.eye(nx + nu, dtype=dtype)[:, :, None, None],
+            (nx + nu,) + xu.shape)
+        J = jax.vmap(lin)(basis)                           # (nxu, nx, N, L)
+        J = jnp.transpose(J, (2, 1, 0, 3))                 # (N, nx, nxu, L)
         A, Bm = J[:, :, :nx, :], J[:, :, nx:, :]
         c = jnp.moveaxis(x_next - xbar[:, 1:, :], 0, 1)    # (N, nx, L)
 
