@@ -197,12 +197,11 @@ class LaneRTISolver:
                 return m.h(xv, params)
 
             hbar_l, linh = jax.linearize(H, xs)            # (nh, N, L)
-            eyex = np.eye(nx)
-            colsC = [linh(jnp.broadcast_to(
-                jnp.asarray(eyex[j], dtype)[:, None, None], xs.shape))
-                for j in range(nx)]
-            C = jnp.stack(colsC, axis=1)                   # (nh, nx, N, L)
-            C = jnp.transpose(C, (2, 0, 1, 3))             # (N, nh, nx, L)
+            basis_x = jnp.broadcast_to(
+                jnp.eye(nx, dtype=dtype)[:, :, None, None],
+                (nx,) + xs.shape)
+            C = jax.vmap(linh)(basis_x)                    # (nx, nh, N, L)
+            C = jnp.transpose(C, (2, 1, 0, 3))             # (N, nh, nx, L)
             hbar = jnp.moveaxis(hbar_l, 0, 1)              # (N, nh, L)
             lh_full = (jnp.asarray(m.lh, dtype)[:, None] if lh is None
                        else jnp.asarray(lh, dtype))
