@@ -94,8 +94,44 @@ class RTServer:
             self._p_rows = np.full((L, protocol.NP), 100.0, np.float32)
             self._lh_rows = np.zeros((L, protocol.NH), np.float32)
             self._lane_state = self.lane_solver.init_state(self._x0_rows)
-            self._lane_step = jax.jit(self.lane_solver.step_fn,
-                                      donate_argnums=(0,))
+
+            # one packed upload + one packed fetch per tick: on tunneled
+            # backends every host<->device transfer is its own round trip
+            # (~30 ms on the dev TPU), so x0/p/lh go up as ONE (L, NX+NP+NH)
+            # array and u0/x1/status come back as ONE (nu+nx+1, L) array
+            NX, NP, NH = protocol.NX, protocol.NP, protocol.NH
+
+            def _tick(state, packed):
+                xL = packed[:, :NX].T
+                pL = packed[:, NX:NX + NP].T
+                lhL = packed[:, NX + NP:].T
+                new_state, outs = self.lane_solver.step_fn(state, xL, pL,
+                                                           lhL)
+                out = jnp.concatenate(
+                    [outs.u0, outs.x1,
+                     outs.status[None].astype(jnp.float32)], axis=0)
+                return new_state, out
+
+            self._lane_tick = jax.jit(_tick, donate_argnums=(0,))
+
+            # single jitted seeder with the lane index as a TRACED scalar:
+            # an eager .at[..., lane].set would compile one executable per
+            # concrete lane (a multi-second remote compile on every vehicle
+            # join — measured blowing the client's 2 s tick-0 budget)
+            def _seed(state, x0, lane):
+                zero = jnp.int32(0)
+                xb = jax.lax.dynamic_update_slice(
+                    state.xbar,
+                    jnp.broadcast_to(x0[:, None, None],
+                                     (x0.shape[0], state.xbar.shape[1], 1)),
+                    (zero, zero, lane))
+                ub = jax.lax.dynamic_update_slice(
+                    state.ubar,
+                    jnp.zeros(state.ubar.shape[:-1] + (1,), state.ubar.dtype),
+                    (zero, zero, lane))
+                return state._replace(xbar=xb, ubar=ub)
+
+            self._lane_seed = jax.jit(_seed, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def warmup(self, all_buckets: bool = False):
@@ -112,15 +148,21 @@ class RTServer:
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
         jax.block_until_ready(out.u0)
         if self.engine == "lane":
-            # lane mode has exactly one executable: compile it, then restore
-            # the pristine parked state (the donated buffer is consumed)
-            from mpc_collisionavoidance_tpu.solver.batch import to_lanes
-            st_l, out_l = self._lane_step(
-                self._lane_state,
-                to_lanes(jnp.asarray(self._x0_rows)),
-                to_lanes(jnp.asarray(self._p_rows)),
-                to_lanes(jnp.asarray(self._lh_rows)))
-            jax.block_until_ready(out_l.u0)
+            # lane mode has two executables (seed + step): compile and
+            # dispatch BOTH on the solve thread (first dispatch from a new
+            # thread pays extra tunnel overhead), then restore the pristine
+            # parked state (donated buffers are consumed)
+            def _prewarm_lane():
+                st_l = self._lane_seed(
+                    self._lane_state, jnp.asarray(sc_x0), jnp.int32(0))
+                packed = np.concatenate(
+                    [self._x0_rows, self._p_rows, self._lh_rows], axis=1)
+                st_l, out_l = self._lane_tick(st_l, jnp.asarray(packed))
+                # full host fetch, not just a sync: the FIRST device->host
+                # transfer also pays one-time (remote-compile) cost
+                np.asarray(out_l)
+
+            self._executor.submit(_prewarm_lane).result()
             self._lane_state = self.lane_solver.init_state(self._x0_rows)
             self._executor.submit(self._prewarm).result()
             return
@@ -252,8 +294,6 @@ class RTServer:
         All `max_batch` lanes solve every tick (flat cost, one executable);
         requests update their lane's x0/params rows first, replies read
         their lane's column of the outputs."""
-        from mpc_collisionavoidance_tpu.solver.batch import to_lanes
-
         live = []
         # the lock covers lane assignment AND the host row arrays — the
         # event-loop thread parks freed lanes' rows in _release_vehicle
@@ -269,27 +309,26 @@ class RTServer:
                     lane = self._lanes_free.pop()
                     self._lane_of[vid] = lane
                     # cold lane: seed the warm start from this x0
-                    x0 = jnp.asarray(req.x0, jnp.float32)
-                    self._lane_state = self._lane_state._replace(
-                        xbar=self._lane_state.xbar.at[:, :, lane].set(
-                            x0[:, None]),
-                        ubar=self._lane_state.ubar.at[:, :, lane].set(0.0))
+                    self._lane_state = self._lane_seed(
+                        self._lane_state,
+                        jnp.asarray(req.x0, jnp.float32),
+                        jnp.int32(lane))
                 self._x0_rows[lane] = req.x0
                 self._p_rows[lane] = req.p_obs
                 self._lh_rows[lane] = req.r_obs
                 live.append((lane, req, fut))
             if not live:
                 return
-            xLane = to_lanes(jnp.asarray(self._x0_rows))
-            pLane = to_lanes(jnp.asarray(self._p_rows))
-            lhLane = to_lanes(jnp.asarray(self._lh_rows))
+            packed = jnp.asarray(np.concatenate(
+                [self._x0_rows, self._p_rows, self._lh_rows], axis=1))
 
-        new_state, outs = self._lane_step(
-            self._lane_state, xLane, pLane, lhLane)
+        new_state, out = self._lane_tick(self._lane_state, packed)
         self._lane_state = new_state
-        u0 = np.asarray(outs.u0)          # (nu, L)
-        x1 = np.asarray(outs.x1)          # (nx, L)
-        status = np.asarray(outs.status)  # (L,)
+        out = np.asarray(out)             # ONE fetch: (nu + nx + 1, L)
+        nu = out.shape[0] - protocol.NX - 1
+        u0 = out[:nu]
+        x1 = out[nu:nu + protocol.NX]
+        status = out[-1].astype(np.int32)
         for lane, req, fut in live:
             self._reply(fut, req, status[lane], u0[:, lane], x1[:, lane])
 
