@@ -1,0 +1,133 @@
+"""Golden closed-loop trajectory fixtures.
+
+Because acados cannot run in the TPU image (zero egress, no casadi), the
+accuracy criterion is pinned two ways:
+
+1. `parity/run_acados_parity.py` — the direct <1e-3 comparison, runnable on
+   any machine with acados installed, fed by the transcriptions in
+   `parity/casadi_models.py` (cross-checked in-image).
+2. **These goldens** — committed float64 converged-SQP closed-loop
+   trajectories at the full reference scale (N=100, reference scenarios)
+   that pin today's solver behavior; tests/test_golden.py recomputes a
+   prefix on every run and fails on >1e-6 drift, so any solver change that
+   moves the physics is caught immediately.
+
+Golden runs use the reference's solver-as-plant idiom (x0 <- stage-1
+prediction, reference scripts/usv_guidance_ca1/main.py:169-174) with a
+converged SQP per tick (sqp_iters re-linearizations) rather than a single
+RTI step, so the fixture is a property of the *problem*, not of the RTI
+warm-start schedule.
+
+Regenerate with:  python -m mpc_collisionavoidance_tpu.parity.goldens
+"""
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                          "tests", "goldens")
+
+# variant -> (scenario factory name, ticks, sqp_iters)
+GOLDEN_RUNS = {
+    "usv_guidance_ca1": ("guidance_ca1_default", 1000, 10),
+    "usv_pf_ca": ("pf_ca_default", 1000, 10),
+    "usv_guidance": (None, 600, 10),
+    "usv_guidance2": (None, 600, 10),
+}
+
+
+class GoldenRun(NamedTuple):
+    simX: np.ndarray   # (ticks, nx) measured state per tick
+    simU: np.ndarray   # (ticks, nu) applied input per tick
+    status: np.ndarray  # (ticks,)
+
+
+def compute_golden(name: str, ticks: int, sqp_iters: int = 10) -> GoldenRun:
+    """Run the float64 converged-SQP closed loop for `name`."""
+    import jax
+    assert jax.config.jax_enable_x64, "goldens must be computed in float64"
+    import jax.numpy as jnp
+
+    from mpc_collisionavoidance_tpu.ocp import builders
+    from mpc_collisionavoidance_tpu.sim import scenarios
+    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+
+    spec = builders.build(name)
+    m = spec.model
+    factory, _, _ = GOLDEN_RUNS.get(name, (None, None, None))
+    if factory is not None:
+        sc = getattr(scenarios, factory)()
+        x0 = sc.x0
+        params = sc.params if np.size(sc.params) else np.zeros(m.np_)
+        lh = sc.lh if np.size(sc.lh) else None
+        yref = None if sc.yref is None else jnp.tile(
+            jnp.asarray(sc.yref, jnp.float64), (spec.N, 1))
+        yref_e = None if sc.yref_e is None else jnp.asarray(
+            sc.yref_e, jnp.float64)
+    else:
+        x0 = np.asarray(m.x0, float)
+        params = np.full(m.np_, 100.0) if m.np_ else np.zeros(0)
+        lh = None
+        yref = yref_e = None
+
+    solver = RTISolver(spec, ipm_iters=30, ipm_tol=1e-10)
+    st = solver.init_state(jnp.asarray(x0), dtype=jnp.float64)
+    params_j = jnp.asarray(params, jnp.float64)
+    lh_j = None if lh is None else jnp.asarray(lh, jnp.float64)
+
+    def tick(carry, _):
+        st, x = carry
+
+        def sqp_body(s, _):
+            s, out = solver.step_fn(s, x, params_j, lh_j,
+                                    yref=yref, yref_e=yref_e)
+            return s, out
+
+        st, outs = jax.lax.scan(sqp_body, st, None, length=sqp_iters)
+        out = jax.tree.map(lambda a: a[-1], outs)
+        return (st, out.x1), (x, out.u0, out.status)
+
+    (_, _), (simX, simU, status) = jax.jit(
+        lambda c: jax.lax.scan(tick, c, None, length=ticks)
+    )((st, jnp.asarray(x0, jnp.float64)))
+    return GoldenRun(simX=np.asarray(simX), simU=np.asarray(simU),
+                     status=np.asarray(status))
+
+
+def golden_path(name: str) -> str:
+    return os.path.abspath(os.path.join(GOLDEN_DIR, f"{name}.npz"))
+
+
+def save_golden(name: str, run: GoldenRun) -> str:
+    os.makedirs(os.path.abspath(GOLDEN_DIR), exist_ok=True)
+    path = golden_path(name)
+    np.savez_compressed(path, simX=run.simX, simU=run.simU,
+                        status=run.status)
+    return path
+
+
+def load_golden(name: str) -> GoldenRun:
+    with np.load(golden_path(name)) as z:
+        return GoldenRun(simX=z["simX"], simU=z["simU"], status=z["status"])
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    # goldens are float64 CPU artifacts; the axon sitecustomize overrides
+    # JAX_PLATFORMS, so pin the default device programmatically (same
+    # pattern as tests/conftest.py)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    for name, (_, ticks, sqp_iters) in GOLDEN_RUNS.items():
+        run = compute_golden(name, ticks, sqp_iters)
+        path = save_golden(name, run)
+        n_conv = int(np.sum(run.status == 0))
+        print(f"{name}: {ticks} ticks -> {path} "
+              f"(converged {n_conv}/{ticks}, "
+              f"|u| max {np.max(np.abs(run.simU)):.4f})")
+
+
+if __name__ == "__main__":
+    main()

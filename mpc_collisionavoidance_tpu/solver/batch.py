@@ -60,11 +60,6 @@ class LaneRTISolver:
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
-        if spec.soft_bx is not None:
-            raise NotImplementedError(
-                "LaneRTISolver does not support soft state-box rows "
-                "(spec.soft_bx) — use RTISolver for specs like "
-                "race_cars_dev, or harden the bound")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
@@ -81,14 +76,49 @@ class LaneRTISolver:
             "Qc": scale * (Vx.T @ W @ Vx), "QN": Vx_e.T @ W_e @ Vx_e,
             "Sc": scale * (Vu.T @ W @ Vx), "Rc": scale * (Vu.T @ W @ Vu),
         }
+        # soft-row static weights: [ softened h rows | softened state-box
+        # rows ] — same ordering as the per-instance engine
+        # (ops/linearize.py:172-217); soft state-box rows leave the hard
+        # box family and become selection-Jacobian soft rows (acados
+        # idxsbx semantics, reference scripts/race_cars/
+        # acados_settings_dev.py:81-85)
+        zl_parts, Zl_parts, zu_parts, Zu_parts = [], [], [], []
+        lsh_parts, ush_parts = [], []
         if spec.soft is not None:
             sp = spec.soft
+            zl_parts.append(scale * np.asarray(sp.zl))
+            Zl_parts.append(scale * np.asarray(sp.Zl))
+            zu_parts.append(scale * np.asarray(sp.zu))
+            Zu_parts.append(scale * np.asarray(sp.Zu))
+            lsh_parts.append(np.asarray(sp.lsh))
+            ush_parts.append(np.asarray(sp.ush))
+        idxbx_all = np.asarray(m.idxbx, dtype=np.int64).reshape(-1)
+        lbx_all = np.asarray(m.lbx, float).reshape(-1)
+        ubx_all = np.asarray(m.ubx, float).reshape(-1)
+        if spec.soft_bx is not None:
+            sb = spec.soft_bx
+            sbx_rows = np.asarray(sb.idxsbx, dtype=np.int64).reshape(-1)
+            zl_parts.append(scale * np.asarray(sb.zl))
+            Zl_parts.append(scale * np.asarray(sb.Zl))
+            zu_parts.append(scale * np.asarray(sb.zu))
+            Zu_parts.append(scale * np.asarray(sb.Zu))
+            lsh_parts.append(np.asarray(sb.lsbx))
+            ush_parts.append(np.asarray(sb.usbx))
+        else:
+            sbx_rows = np.zeros((0,), dtype=np.int64)
+        if zl_parts:
             self._fused_static.update(
-                zl=scale * np.asarray(sp.zl), Zl=scale * np.asarray(sp.Zl),
-                zu=scale * np.asarray(sp.zu), Zu=scale * np.asarray(sp.Zu),
-                lsh=np.asarray(sp.lsh), ush=np.asarray(sp.ush))
+                zl=np.concatenate(zl_parts), Zl=np.concatenate(Zl_parts),
+                zu=np.concatenate(zu_parts), Zu=np.concatenate(Zu_parts),
+                lsh=np.concatenate(lsh_parts), ush=np.concatenate(ush_parts))
+        hard_bx = np.setdiff1d(np.arange(idxbx_all.size), sbx_rows)
         self.idxbu = tuple(int(i) for i in np.asarray(m.idxbu).reshape(-1))
-        self.idxbx = tuple(int(i) for i in np.asarray(m.idxbx).reshape(-1))
+        self.idxbx = tuple(int(i) for i in idxbx_all[hard_bx])
+        self._lbx = lbx_all[hard_bx]
+        self._ubx = ubx_all[hard_bx]
+        self.sbx_state_idx = tuple(int(i) for i in idxbx_all[sbx_rows])
+        self._lbx_s = lbx_all[sbx_rows]
+        self._ubx_s = ubx_all[sbx_rows]
         if spec.soft is not None:
             self.soft_idx = tuple(int(i) for i in spec.soft.idxsh)
         else:
@@ -183,8 +213,8 @@ class LaneRTISolver:
         xmask = (jnp.arange(N) > 0).astype(dtype)[:, None, None]
         if self.idxbx:
             xsel = jnp.moveaxis(xs[np.asarray(self.idxbx, dtype=np.int64)], 0, 1)    # (N, nbx, L)
-            lbx = jnp.asarray(m.lbx, dtype)[None, :, None]
-            ubx = jnp.asarray(m.ubx, dtype)[None, :, None]
+            lbx = jnp.asarray(self._lbx, dtype)[None, :, None]
+            ubx = jnp.asarray(self._ubx, dtype)[None, :, None]
             xb_lo = jnp.where(xmask > 0, lbx - xsel, -1.0)
             xb_hi = jnp.where(xmask > 0, xsel - ubx, -1.0)
         else:
@@ -223,14 +253,38 @@ class LaneRTISolver:
         slh = jnp.broadcast_to(lh_full[si][None], (N, len(si), L))
         suh = jnp.broadcast_to(uh_full[si][None], (N, len(si), L))
 
-        if spec.soft is not None:
-            sp = spec.soft
-            zl = jnp.asarray(scale * sp.zl, dtype)[:, None]
-            Zl = jnp.asarray(scale * sp.Zl, dtype)[:, None]
-            zu = jnp.asarray(scale * sp.zu, dtype)[:, None]
-            Zu = jnp.asarray(scale * sp.Zu, dtype)[:, None]
-            lsh = jnp.asarray(sp.lsh, dtype)[:, None]
-            ush = jnp.asarray(sp.ush, dtype)[:, None]
+        # ---- soft state-box rows appended to the soft family (constant
+        # selection Jacobian, stage 0 masked with an O(1) inactive band,
+        # mirroring ops/linearize.py:193-217) ----
+        n_sbx = len(self.sbx_state_idx)
+        if n_sbx:
+            sidx = np.asarray(self.sbx_state_idx, dtype=np.int64)
+            E_xs = np.zeros((n_sbx, nx))
+            E_xs[np.arange(n_sbx), sidx] = 1.0
+            Cs_bx = (jnp.broadcast_to(
+                jnp.asarray(E_xs, dtype)[None, :, :, None],
+                (N, n_sbx, nx, L)) * xmask[:, :, None, :])
+            xsel_s = jnp.moveaxis(xs[sidx], 0, 1)          # (N, n_sbx, L)
+            hofs_bx = xsel_s * xmask
+            smask = (jnp.arange(N) > 0)[:, None, None]
+            slh_bx = jnp.where(
+                smask, jnp.asarray(self._lbx_s, dtype)[None, :, None], -1.0)
+            suh_bx = jnp.where(
+                smask, jnp.asarray(self._ubx_s, dtype)[None, :, None], 1.0)
+            slh_bx = jnp.broadcast_to(slh_bx, (N, n_sbx, L))
+            suh_bx = jnp.broadcast_to(suh_bx, (N, n_sbx, L))
+            Cs = jnp.concatenate([Cs, Cs_bx], axis=1)
+            hofs = jnp.concatenate([hofs, hofs_bx], axis=1)
+            slh = jnp.concatenate([slh, slh_bx], axis=1)
+            suh = jnp.concatenate([suh, suh_bx], axis=1)
+
+        if "zl" in self._fused_static:
+            zl = jnp.asarray(self._fused_static["zl"], dtype)[:, None]
+            Zl = jnp.asarray(self._fused_static["Zl"], dtype)[:, None]
+            zu = jnp.asarray(self._fused_static["zu"], dtype)[:, None]
+            Zu = jnp.asarray(self._fused_static["Zu"], dtype)[:, None]
+            lsh = jnp.asarray(self._fused_static["lsh"], dtype)[:, None]
+            ush = jnp.asarray(self._fused_static["ush"], dtype)[:, None]
         else:
             zl = Zl = zu = Zu = lsh = ush = jnp.zeros((0, 1), dtype)
 

@@ -121,3 +121,38 @@ def test_lane_closed_loop_flagship():
         ox, oy = sc.params[2 * i], sc.params[2 * i + 1]
         dmin = np.min(np.hypot(pos[:, 0] - ox, pos[:, 1] - oy))
         assert dmin > 1.3 - 1e-3, (i, dmin)
+
+
+@pytest.mark.parametrize("steps", [1, 3])
+def test_lane_matches_reference_engine_race_cars_dev(steps):
+    """race_cars_dev: soft state-box rows (idxsbx) + quadratic slack
+    weights + all-soft h — the lane engine's soft-bx path must reproduce
+    the oracle-validated per-instance engine (test_soft_box.py)."""
+    B = 4
+    spec = builders.race_cars_dev(Tf=0.4, N=10)
+    rng = np.random.default_rng(7)
+    x0s = np.broadcast_to(spec.model.x0, (B, 6)).copy()
+    x0s[:, 3] = 0.5 + 0.1 * rng.standard_normal(B)   # rolling speeds
+    x0s[:, 1] = 0.05 * rng.standard_normal(B)        # lateral offsets
+    params = np.zeros((B, 0))
+
+    ref = RTISolver(spec, ipm_iters=25)
+    stR = jax.vmap(lambda x: ref.init_state(x, dtype=jnp.float64))(
+        jnp.asarray(x0s))
+    lane = LaneRTISolver(spec, ipm_iters=25)
+    stL = lane.init_state(x0s, dtype=jnp.float64)
+    xL = to_lanes(jnp.asarray(x0s, jnp.float64))
+    pL = to_lanes(jnp.asarray(params, jnp.float64))
+
+    for _ in range(steps):
+        stR, outR = jax.vmap(ref.step_fn, in_axes=(0, 0, 0, None))(
+            stR, jnp.asarray(x0s), jnp.asarray(params), None)
+        stL, outL = lane.step_fn(stL, xL, pL, None)
+
+    np.testing.assert_allclose(np.asarray(from_lanes(outL.u0)),
+                               np.asarray(outR.u0), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(from_lanes(outL.x1)),
+                               np.asarray(outR.x1), atol=5e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(stL.xbar, (2, 1, 0))),
+        np.asarray(stR.xbar), atol=1e-5)
