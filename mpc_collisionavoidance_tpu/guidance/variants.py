@@ -19,6 +19,15 @@ catkin_ws/src/nmpc_ca/src/):
   wrapped; no command memory.
 - usv_guidance5 (nmpc_guidance5.cpp:252-303): + carried psied state;
   psi_d = x1[psied] + ak wrapped, r_d = u0 (psi_e_d rate).
+- usv_guidance_ca (nmpc_guidance_ca.cpp:256-341, SURVEY.md N15): the first
+  CA guidance node — 9-state jerk-level model; psi_d = x[STAGE 2][psied]
+  + ak wrapped (:319-322), command memory ALSO from stage 2 (:328);
+  obstacle params stay at the builder's far-away default because the node
+  never calls acados_update_params (grep-verified; default p = 100 from
+  scripts/usv_guidance_ca/acados_settings.py:156); the psieddot state is
+  packed from `past_psieddot`, which is initialized to 0 and never written
+  after a solve (:169 vs :328) — so it is constant 0, reproduced here;
+  psied memory is re-seeded to wrap(psi - ak) on a new mission (:361-366).
 """
 
 import dataclasses
@@ -39,10 +48,14 @@ class _IO:
     """How a variant packs x0 and extracts commands (indices into the
     model's state vector; see models/variants.py state_names)."""
     pose_layout: str          # "world" (nedx..ak states) | "error" (u,v,ye,chie..)
+                              # | "error_ca" (error + NED pose, guidance_ca)
     mem_idx: tuple            # state indices carried across ticks
     heading_src: Optional[tuple]  # ("x", stage, idx, add_ak) | ("u", 0, idx, add_ak) | None
     rate_src: Optional[tuple]     # same encoding | None
     uses_r: bool = False      # packs the yaw-rate measurement
+    mem_stage: int = 1        # stage the command memory is read from
+    far_params: bool = False  # obstacle params at the 100.0 far sentinel
+    seed_mem: bool = False    # mem[0] <- wrap(psi - ak) on mission seed
 
 
 _TABLE = {
@@ -53,6 +66,8 @@ _TABLE = {
                          uses_r=True),
     "usv_guidance4": _IO("error", (), ("u", 0, 0, True), None),
     "usv_guidance5": _IO("error", (4,), ("x", 1, 4, True), ("u", 0, 0, False)),
+    "usv_guidance_ca": _IO("error_ca", (4,), ("x", 2, 4, True), None,
+                           mem_stage=2, far_params=True, seed_mem=True),
 }
 
 
@@ -118,7 +133,13 @@ class VariantGuidanceController:
             beta = jnp.arctan2(meas.v, u)
             chie = wrap_once(meas.psi + beta - ak)
             vals = [u, meas.v, ye, chie]
-        x0 = jnp.stack(vals + [jnp.zeros(())] * len(self.io.mem_idx))
+        if io.pose_layout == "error_ca":
+            # guidance_ca appends (psied, xned, yned, psi, psieddot); psied
+            # is the carried memory slot, psieddot is the constant-zero
+            # quirk (nmpc_guidance_ca.cpp:271-275; see module docstring)
+            vals += [jnp.zeros(()), meas.nedx, meas.nedy, meas.psi]
+        x0 = jnp.stack(vals + [jnp.zeros(())]
+                       * (self.spec.model.nx - len(vals)))
         for slot, idx in enumerate(io.mem_idx):
             x0 = x0.at[idx].set(mem[slot])
         assert x0.shape == (self.spec.model.nx,), (x0.shape, self.name)
@@ -129,6 +150,10 @@ class VariantGuidanceController:
                    dtype=jnp.float32) -> VariantState:
         mission = mission_init(waypoints, n_wp, meas.psi, dtype)
         mem = jnp.zeros((max(len(self.io.mem_idx), 1),), dtype)
+        if self.io.seed_mem:
+            # guidance_ca re-seeds past_psied = wrap(psi - ak) on a new
+            # waypoint list (nmpc_guidance_ca.cpp:361-366)
+            mem = mem.at[0].set(mission.past_psied)
         x0 = self._pack_x0(
             VariantMeasurements(*[jnp.asarray(m, dtype) for m in meas]),
             mem, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
@@ -146,7 +171,10 @@ class VariantGuidanceController:
             state.mission, waypoints, n_wp, meas.nedx, meas.nedy)
 
         x0 = self._pack_x0(meas, state.memory, frame.ye, frame.ak)
-        params = jnp.zeros((self.spec.model.np_,), dtype)
+        # guidance_ca never updates its obstacle params, so they stay at
+        # the builder default far sentinel (see module docstring)
+        fill = 100.0 if io.far_params else 0.0
+        params = jnp.full((self.spec.model.np_,), fill, dtype)
         if io.pose_layout == "world":
             # the nodes push the segment heading as (sin, cos) references
             # every tick (e.g. nmpc_guidance.cpp:235-236,276-277)
@@ -173,11 +201,14 @@ class VariantGuidanceController:
         psi_d = jnp.where(active, psi_d, state.psi_d_hold)
         r_d = jnp.where(active, r_d, state.r_d_hold)
 
-        # carried command memory <- stage-1 values of the memory states
+        # carried command memory <- memory-stage values of the memory
+        # states (stage 1 for most nodes; guidance_ca reads stage 2,
+        # nmpc_guidance_ca.cpp:319,328)
         mem = state.memory
         for slot, idx in enumerate(io.mem_idx):
             mem = mem.at[slot].set(
-                jnp.where(active, out.x1[idx], state.memory[slot]))
+                jnp.where(active, out.xtraj[io.mem_stage, idx],
+                          state.memory[slot]))
 
         cmds = VariantCommands(psi_d=psi_d, r_d=r_d, u_d=frame.u_d,
                                ye=frame.ye, active=active,

@@ -66,6 +66,24 @@ def compute_golden(name: str, ticks: int, sqp_iters: int = 10) -> GoldenRun:
             jnp.asarray(sc.yref, jnp.float64), (spec.N, 1))
         yref_e = None if sc.yref_e is None else jnp.asarray(
             sc.yref_e, jnp.float64)
+    elif name in ("usv_guidance", "usv_guidance2"):
+        # the reference sims' start values (scripts/usv_guidance/main.py:
+        # 87-108, scripts/usv_guidance2/main.py:88-120): u = 0.5, segment
+        # (3,-5) -> (10,5), yref tracks (sin ak, cos ak) — a non-trivial
+        # transient, so the golden pins real controller activity
+        seg = np.array([3.0, -5.0, 10.0, 5.0])
+        ak = float(np.arctan2(seg[3] - seg[1], seg[2] - seg[0]))
+        ye0 = float(-(0.0 - seg[0]) * np.sin(ak) + (0.0 - seg[1]) * np.cos(ak))
+        if name == "usv_guidance":
+            x0 = np.array([0, 0, 0, 0, 1.0, 0.5, 0, ye0, ak, 0.0])
+        else:
+            x0 = np.array([0, 0, 0, 0, 1.0, 0.5, 0, 0, ye0, ak, 0.0, 0.0])
+        params = np.zeros(0)
+        lh = None
+        yvec = np.zeros(spec.cost.ny)
+        yvec[3], yvec[4] = np.sin(ak), np.cos(ak)
+        yref = jnp.tile(jnp.asarray(yvec, jnp.float64), (spec.N, 1))
+        yref_e = jnp.asarray(yvec[:m.nx], jnp.float64)
     else:
         x0 = np.asarray(m.x0, float)
         params = np.full(m.np_, 100.0) if m.np_ else np.zeros(0)
@@ -114,13 +132,17 @@ def load_golden(name: str) -> GoldenRun:
 
 
 def main():
+    import sys
+
     import jax
     jax.config.update("jax_enable_x64", True)
     # goldens are float64 CPU artifacts; the axon sitecustomize overrides
     # JAX_PLATFORMS, so pin the default device programmatically (same
     # pattern as tests/conftest.py)
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    for name, (_, ticks, sqp_iters) in GOLDEN_RUNS.items():
+    names = sys.argv[1:] or list(GOLDEN_RUNS)
+    for name in names:
+        _, ticks, sqp_iters = GOLDEN_RUNS[name]
         run = compute_golden(name, ticks, sqp_iters)
         path = save_golden(name, run)
         n_conv = int(np.sum(run.status == 0))
