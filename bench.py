@@ -56,15 +56,19 @@ def main():
     step = jax.jit(solver.step_fn, donate_argnums=(0,))
 
     # closed-loop style warmup: feed back stage-1 predictions as next x0.
-    # If the requested riccati backend fails to compile on this backend
-    # (e.g. pallas on CPU-only runs), fall back to the portable lax path.
+    # STRICT by default: a Pallas compile/execute regression must turn the
+    # bench RED, not quietly report a slower lax number.  Opt into the
+    # portable fallback (e.g. for CPU-only smoke runs) with BENCH_STRICT=0.
+    strict = os.environ.get("BENCH_STRICT", "1") != "0"
     try:
         states, outs = step(states, xL, pL, lhL)
         xL = outs.x1
     except Exception as e:
+        if strict:
+            raise
         import sys
         print(f"bench: riccati={riccati!r} failed ({type(e).__name__}); "
-              "falling back to 'lax'", file=sys.stderr)
+              "falling back to 'lax' (BENCH_STRICT=0)", file=sys.stderr)
         riccati = "lax"
         solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati="lax")
         states = solver.init_state(x0s)
@@ -86,6 +90,15 @@ def main():
     float(outs.gap.sum())
     dt = time.perf_counter() - t0
 
+    # health gate: the throughput number only counts if the solves are
+    # actually converging (guards against a fast-but-garbage regression)
+    gaps = np.asarray(outs.gap)
+    converged_frac = float(np.mean(gaps < 1e-5))
+    if strict:
+        assert np.all(np.isfinite(gaps)), "bench: non-finite duality gaps"
+        assert converged_frac > 0.9, (
+            f"bench: only {converged_frac:.2f} of lanes converged")
+
     solves_per_s = B * ticks / dt
     baseline = 5000.0
     print(json.dumps({
@@ -94,6 +107,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 3),
         "backend": riccati,
+        "converged_frac": round(converged_frac, 3),
     }))
 
 

@@ -123,10 +123,8 @@ def test_distributed_single_process(monkeypatch):
 
 def test_config_builder_only_variant():
     """race_cars_dev is a builder (no separate model): reachable via config
-    with the instance engine; the lane engine refuses its soft state box
-    with a clear error instead of silently hardening it."""
-    import pytest
-
+    with BOTH engines — the lane engine gained soft state-box support
+    (spec.soft_bx, acados idxsbx semantics) so it no longer refuses."""
     from mpc_collisionavoidance_tpu.config import FrameworkConfig, SolverConfig
 
     cfg = FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4,
@@ -135,5 +133,6 @@ def test_config_builder_only_variant():
     assert type(solver).__name__ == "RTISolver"
     assert cfg.build_spec().soft_bx is not None
 
-    with pytest.raises(NotImplementedError):
-        FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4).build_solver()
+    lane = FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4).build_solver()
+    assert type(lane).__name__ == "LaneRTISolver"
+    assert lane.sbx_state_idx  # the soft box rows reached the lane engine
