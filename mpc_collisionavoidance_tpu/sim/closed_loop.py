@@ -51,12 +51,19 @@ def run_closed_loop(solver: RTISolver,
                     disturbance: Optional[jnp.ndarray] = None,
                     yref=None,
                     yref_e=None,
+                    yref_fn=None,
                     dtype=jnp.float64) -> ClosedLoopResult:
     """Run the receding-horizon loop; jit/vmap-able as a whole.
 
     `err_idx` selects (heading-error, cross-track-error) state indices for
     the metric accumulation (3 and 2 for the ca1 state layout, reference
     main.py:156-159).
+
+    `yref_fn(x, k) -> (yref (N, ny), yref_e (nx,))` optionally recomputes
+    the stage references every tick from the current measured state — the
+    reference's receding progress reference (race car
+    scripts/race_cars/main.py:74-83 ramps s from s0 to s0 + 3 across the
+    horizon each tick).  Overrides `yref`/`yref_e`.
     """
     spec = solver.spec
     x0 = jnp.asarray(x0, dtype)
@@ -72,8 +79,12 @@ def run_closed_loop(solver: RTISolver,
 
     def tick(carry, k):
         st, x = carry
-        st, out = solver.step_fn(st, x, params, lh, yref=yref,
-                                  yref_e=yref_e)
+        if yref_fn is not None:
+            yref_k, yref_e_k = yref_fn(x, k)
+        else:
+            yref_k, yref_e_k = yref, yref_e
+        st, out = solver.step_fn(st, x, params, lh, yref=yref_k,
+                                  yref_e=yref_e_k)
         if plant == "solver_prediction":
             x_next = out.x1
         else:

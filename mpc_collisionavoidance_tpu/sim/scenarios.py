@@ -157,6 +157,98 @@ def acados_speed_default(n_steps: int = 400) -> Scenario:
                     yref=yref, yref_e=yref[:5])
 
 
+def low_level_default(n_steps: int = 1000) -> Scenario:
+    """usv_low_level inner-loop experiment (reference
+    scripts/usv_low_level/main.py:78-102): step to psi_ref = 1.0 rad and
+    u_ref = 0.8 m/s from rest; yref = (0, sin psi_ref, cos psi_ref,
+    u_ref, 0...)."""
+    psi_ref, u_ref = 1.0, 0.8
+    x0 = np.array([0.0, 0.0, 1.0, 0.001, 0.0, 0.0, 0.0, 0.0])
+    yref = np.zeros(10)
+    yref[1], yref[2], yref[3] = np.sin(psi_ref), np.cos(psi_ref), u_ref
+    return Scenario("low_level_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, 0.0, np.zeros((0, 2)),
+                    yref=yref, yref_e=yref[:8])
+
+
+def position_control_default(n_steps: int = 200) -> Scenario:
+    """usv_position_control experiment (reference
+    scripts/usv_position_control/main.py:73-85): drive to (x, y) = (5, 1)
+    with uref = 1.0 in the cost; starts at the model's 0.001 defaults."""
+    x_ref, y_ref, uref = 5.0, 1.0, 1.0
+    x0 = np.full(8, 0.001)
+    yref = np.zeros(10)
+    yref[0], yref[1], yref[3] = x_ref, y_ref, uref
+    return Scenario("position_control_default", x0, np.zeros(0),
+                    np.zeros(0), n_steps, 0.0, np.zeros((0, 2)),
+                    yref=yref, yref_e=yref[:8])
+
+
+def _segment_frame(x1, y1, x2, y2, nedx=0.0, nedy=0.0):
+    ak = float(np.arctan2(y2 - y1, x2 - x1))
+    ye = float(-(nedx - x1) * np.sin(ak) + (nedy - y1) * np.cos(ak))
+    return ak, ye
+
+
+def guidance_default(n_steps: int = 2000) -> Scenario:
+    """usv_guidance kinematic guidance experiment (reference
+    scripts/usv_guidance/main.py:87-120): u = 0.5, segment
+    (3,-5) -> (10,5), yref heads along the segment (sin ak, cos ak)."""
+    ak, ye = _segment_frame(3.0, -5.0, 10.0, 5.0)
+    x0 = np.array([0, 0, 0, 0, 1.0, 0.5, 0, ye, ak, 0.0])
+    yref = np.zeros(11)
+    yref[3], yref[4] = np.sin(ak), np.cos(ak)
+    return Scenario("guidance_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, ak, np.array([[3.0, -5.0], [10.0, 5.0]]),
+                    yref=yref, yref_e=yref[:10])
+
+
+def guidance2_default(n_steps: int = 2000) -> Scenario:
+    """usv_guidance2 (reference scripts/usv_guidance2/main.py:86-126):
+    adds yaw-rate states r, rd; same segment and references."""
+    ak, ye = _segment_frame(3.0, -5.0, 10.0, 5.0)
+    x0 = np.array([0, 0, 0, 0, 1.0, 0.5, 0, 0, ye, ak, 0.0, 0.0])
+    yref = np.zeros(13)
+    yref[3], yref[4] = np.sin(ak), np.cos(ak)
+    return Scenario("guidance2_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, ak, np.array([[3.0, -5.0], [10.0, 5.0]]),
+                    yref=yref, yref_e=yref[:12])
+
+
+def guidance3_default(n_steps: int = 2000) -> Scenario:
+    """usv_guidance3 course-angle variant (reference
+    scripts/usv_guidance3/main.py:89-132): segment (4,-5) -> (4,25),
+    u = 0.5, u_ref = 0.7 in the reference vector."""
+    ak, ye = _segment_frame(4.0, -5.0, 4.0, 25.0)
+    x0 = np.array([0, 0, 0, 0, 1.0, 0.5, 0, 0, ye, ak, 0.0])
+    yref = np.zeros(12)
+    yref[3], yref[4], yref[5] = np.sin(ak), np.cos(ak), 0.7
+    return Scenario("guidance3_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, ak, np.array([[4.0, -5.0], [4.0, 25.0]]),
+                    yref=yref, yref_e=yref[:11])
+
+
+def guidance4_default(n_steps: int = 3000) -> Scenario:
+    """usv_guidance4 minimal error model (reference
+    scripts/usv_guidance4/main.py:89-103): u = 0.7, segment
+    (4,-5) -> (4,25), all-zero references (drive ye, chie -> 0)."""
+    ak, ye = _segment_frame(4.0, -5.0, 4.0, 25.0)
+    psie = 0.0 - ak
+    x0 = np.array([0.7, 0.0, ye, psie])
+    return Scenario("guidance4_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, ak, np.array([[4.0, -5.0], [4.0, 25.0]]))
+
+
+def guidance5_default(n_steps: int = 3000) -> Scenario:
+    """usv_guidance5 (reference scripts/usv_guidance5/main.py:89-103):
+    guidance4 plus the rate-limited heading-reference state."""
+    ak, ye = _segment_frame(4.0, -5.0, 4.0, 25.0)
+    psie = 0.0 - ak
+    x0 = np.array([0.7, 0.0, ye, psie, psie])
+    return Scenario("guidance5_default", x0, np.zeros(0), np.zeros(0),
+                    n_steps, ak, np.array([[4.0, -5.0], [4.0, 25.0]]))
+
+
 def pf_default(n_steps: int = 4000) -> Scenario:
     """usv_pf path following without obstacles (reference
     scripts/usv_pf/main.py:95-130): same frame/references as pf_ca."""
