@@ -194,14 +194,24 @@ def usv_guidance5(Tf: float = 1.0, N: int = 100) -> OCPSpec:
     return OCPSpec(model=m, N=N, Tf=Tf, cost=cost)
 
 
-def race_cars(Tf: float = 1.0, N: int = 50) -> OCPSpec:
+def race_cars(Tf: float = 1.0, N: int = 50, track=None) -> OCPSpec:
     """reference scripts/race_cars/acados_settings.py:75-144 (upstream acados
     demo).  This variant DOES apply unscale = N/Tf to W and 1/unscale to W_e
     (:85-88), cancelling acados' dt cost scaling; we store the scaled W with
     cost_scaling="dt" to reproduce the same effective weights.  Softened rows
     idxsh = [0, 2] (a_long and track width n, :142); note it also uses 3 RK4
-    substeps per interval (:155)."""
-    m = registry.get("race_cars")
+    substeps per interval (:155).
+
+    `track`: a utils.track.Track — bakes its curvature interpolant kappa(s)
+    into the dynamics (the reference's kapparef_s bspline,
+    bycicle_model.py:46-55).  None = straight track (kappa = 0)."""
+    if track is not None:
+        from mpc_collisionavoidance_tpu.models.variants import (
+            race_cars as race_cars_model)
+        from mpc_collisionavoidance_tpu.utils.track import make_kappa_fn
+        m = race_cars_model(kappa_fn=make_kappa_fn(track))
+    else:
+        m = registry.get("race_cars")
     ny = m.nx + m.nu
     unscale = N / Tf
     Vx = np.zeros((ny, m.nx)); Vx[: m.nx, : m.nx] = np.eye(m.nx)
@@ -226,7 +236,7 @@ def race_cars(Tf: float = 1.0, N: int = 50) -> OCPSpec:
                    integrator_steps=3)
 
 
-def race_cars_dev(Tf: float = 1.0, N: int = 50) -> OCPSpec:
+def race_cars_dev(Tf: float = 1.0, N: int = 50, track=None) -> OCPSpec:
     """reference scripts/race_cars/acados_settings_dev.py:32-118 — the dev
     variant of the race-car OCP: ALL nh=5 h rows softened (idxsh=range(nh),
     :106), the track-width state bound softened too (nsbx=1, idxsbx=[0] into
@@ -234,7 +244,7 @@ def race_cars_dev(Tf: float = 1.0, N: int = 50) -> OCPSpec:
     of zl=zu=100 (:66-70), and nlp_solver_type="SQP" with max_iter=200,
     tol=1e-4 (:112-118) — i.e. drive it with `RTISolver.solve_converged`
     rather than single RTI ticks.  Cost/unscale identical to race_cars."""
-    base = race_cars(Tf=Tf, N=N)
+    base = race_cars(Tf=Tf, N=N, track=track)
     m = base.model
     ns = m.nh
     soft = SoftPenalty(

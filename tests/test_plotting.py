@@ -26,3 +26,26 @@ def test_cascade_dashboard(tmp_path):
                      active=z > 0, collision=z > 0)
     plotting.plot_cascade(log, 0.05, save_path=str(tmp_path / "casc"))
     assert (tmp_path / "casc_xy.png").exists()
+
+
+def test_pf_family_dashboard(tmp_path):
+    rng = np.random.default_rng(0)
+    simX = rng.standard_normal((50, 14))
+    simU = rng.standard_normal((50, 2))
+    figs = plotting.plot_pf_family(simX, simU, 0.01,
+                                   obstacles=[[3.0, 2.0]], radii=[0.5],
+                                   save_path=str(tmp_path / "pf"))
+    assert len(figs) == 3
+    for suffix in ("timeseries", "xy", "errors"):
+        assert (tmp_path / f"pf_{suffix}.png").exists()
+
+
+def test_race_track_plot(tmp_path):
+    from mpc_collisionavoidance_tpu.utils import track as trk
+
+    t = trk.make_synthetic_track(n_samples=128)
+    simX = np.zeros((40, 6))
+    simX[:, 0] = np.linspace(0, t.length, 40)
+    simX[:, 1] = 0.05 * np.sin(np.linspace(0, 6, 40))
+    plotting.plot_race_track(t, simX, save_path=str(tmp_path / "race"))
+    assert (tmp_path / "race_track.png").exists()
