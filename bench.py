@@ -41,17 +41,27 @@ def main():
     ipm_iters = int(os.environ.get("BENCH_IPM_ITERS", "10"))
     riccati = os.environ.get("BENCH_RICCATI", "pallas")
 
-    spec = builders.usv_guidance_ca1()           # Tf=5, N=100
+    # BENCH_OCP selects the benched OCP: the flagship (default) or the
+    # full 14-state hydrodynamic hull (usv_pf_ca: nu=2, HARD h rows)
+    ocp = os.environ.get("BENCH_OCP", "usv_guidance_ca1")
+    if ocp == "usv_pf_ca":
+        spec = builders.usv_pf_ca()              # Tf=1, N=100, nx=14
+        sc = scenarios.pf_ca_default()
+        perturb_idx = 6                          # ye
+    else:
+        spec = builders.usv_guidance_ca1()       # Tf=5, N=100, nx=8
+        sc = scenarios.guidance_ca1_default()
+        perturb_idx = 2                          # ye
+    m = spec.model
     solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati)
-    sc = scenarios.guidance_ca1_default()
 
     rng = np.random.default_rng(0)
-    x0s = np.broadcast_to(sc.x0, (B, 8)).copy()
-    x0s[:, 2] += 0.1 * rng.standard_normal(B)     # de-correlate instances
+    x0s = np.broadcast_to(sc.x0, (B, m.nx)).copy()
+    x0s[:, perturb_idx] += 0.1 * rng.standard_normal(B)  # de-correlate
     states = solver.init_state(x0s)
     xL = to_lanes(jnp.asarray(x0s, jnp.float32))
-    pL = to_lanes(np.broadcast_to(sc.params, (B, 16)).astype(np.float32))
-    lhL = to_lanes(np.broadcast_to(sc.lh, (B, 8)).astype(np.float32))
+    pL = to_lanes(np.broadcast_to(sc.params, (B, m.np_)).astype(np.float32))
+    lhL = to_lanes(np.broadcast_to(sc.lh, (B, m.nh)).astype(np.float32))
 
     step = jax.jit(solver.step_fn, donate_argnums=(0,))
 
@@ -101,14 +111,17 @@ def main():
 
     solves_per_s = B * ticks / dt
     baseline = 5000.0
-    print(json.dumps({
+    line = {
         "metric": "nmpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 3),
         "backend": riccati,
         "converged_frac": round(converged_frac, 3),
-    }))
+    }
+    if ocp != "usv_guidance_ca1":
+        line["ocp"] = ocp
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -535,8 +535,14 @@ def fused_ipm_lanes(qp, idxbu: Tuple[int, ...], idxbx: Tuple[int, ...],
     out_shape = [jax.ShapeDtypeStruct(s + (L,), dtype) for s in out_shapes]
     scratch = [pltpu.VMEM(s + (LB,), dtype) for s in sc_shapes]
 
-    in_bytes = sum(int(np.prod(s)) for s in in_shapes) * LB * 4
-    sc_bytes = sum(int(np.prod(s)) for s in sc_shapes) * LB * 4
+    # padded tile sizes: the minor-most pair is tiled (8, 128), so the
+    # second-minor dim pads to a multiple of 8 (see
+    # kernels/riccati_pallas._padded_elems — the logical-shape formula
+    # underestimates by ~1 MB/block at nx=14)
+    from mpc_collisionavoidance_tpu.kernels.riccati_pallas import (
+        _padded_elems)
+    in_bytes = sum(_padded_elems(s, LB) for s in in_shapes) * 4
+    sc_bytes = sum(_padded_elems(s, LB) for s in sc_shapes) * 4
     vmem_limit = int(min(2.2 * in_bytes + sc_bytes + 24 * 2**20, 110 * 2**20))
 
     cargs = [jnp.asarray(Qc), jnp.asarray(QN), jnp.asarray(Sc),

@@ -33,16 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_BLOCK = 128
 
 
+def _padded_elems(lead, lane_block=LANE_BLOCK):
+    """VMEM elements of one (lead..., lane_block) f32 array, accounting for
+    TPU tiling: the minor-most pair is tiled (8, 128), so the second-minor
+    dim (lead[-1]) is padded to a multiple of 8 (this is what the logical-
+    shape formula used to miss — at nx=14/nu=2 the padding alone is ~1 MB
+    per block, enough to blow a tight scoped-vmem request)."""
+    import numpy as _np
+
+    lead = tuple(lead)
+    rows = -(-lead[-1] // 8) * 8 if lead else 8
+    return int(_np.prod(lead[:-1], dtype=_np.int64)) * rows * lane_block
+
+
 def _block_bytes(N, nx, nu, lane_block=LANE_BLOCK):
-    """(input, output+scratch) bytes for one 128-lane block (f32)."""
-    in_per_stage = (nx * nx * 2      # A, Q
-                    + nx * nu * 2    # B, S (S is nu x nx)
-                    + nu * nu        # R
-                    + 2 * nx + nu)   # c, qx, qu
-    aux_per_stage = (nu * nx + nu    # K, kff scratch
-                     + nx + nu)      # dx, du outputs
-    f = (N + 1) * lane_block * 4
-    return in_per_stage * f, aux_per_stage * f + nx * (nx + 1) * lane_block * 4
+    """(input, output+scratch) bytes for one 128-lane block (f32), using
+    the PADDED tile sizes of exactly the arrays the pallas_call passes."""
+    in_leads = [(N, nx, nx), (N, nx, nu), (N, nx), (N + 1, nx, nx),
+                (N, nu, nx), (N, nu, nu), (N + 1, nx), (N, nu), (nx,)]
+    aux_leads = [(N + 1, nx), (N, nu),                  # outputs
+                 (N, nu, nx), (N, nu), (nx, nx), (nx,)]  # scratch
+    inb = sum(_padded_elems(s, lane_block) for s in in_leads) * 4
+    auxb = sum(_padded_elems(s, lane_block) for s in aux_leads) * 4
+    return inb, auxb
 
 
 def _vmem_request(N, nx, nu, lane_block=LANE_BLOCK):

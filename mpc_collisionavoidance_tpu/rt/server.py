@@ -40,13 +40,14 @@ STATUS_OVER_CAPACITY = 3
 class _Vehicle:
     state: SolverState
     seq: int = 0
+    prepared_qp: object = None   # RTI-split: linearization for the NEXT tick
 
 
 class RTServer:
     def __init__(self, path: str, N: int = 100, Tf: float = 5.0,
                  ipm_iters: int = 8, batch_window_ms: float = 2.0,
                  max_batch: int = 128, engine: str = "vmap",
-                 riccati: str = "lax"):
+                 riccati: str = "lax", rti_split: bool = False):
         """`engine` selects the fleet compute path:
 
         - "vmap" (default): per-request batches through the vmapped
@@ -71,6 +72,17 @@ class RTServer:
         self.max_batch = max_batch
         self._step1 = jax.jit(self.solver.step_fn)
         self._stepB = jax.jit(jax.vmap(self.solver.step_fn))
+        # RTI preparation/feedback split (acados RTI phase schedule,
+        # SURVEY.md section 7 hard part 4): after replying to a tick, the
+        # solve thread immediately linearizes at the NEW warm start so the
+        # next request only pays the QP solve. Single-vehicle vmap path
+        # only — a fleet's batched tick already amortizes preparation.
+        # Preparation uses the PREVIOUS tick's obstacle table (the acados
+        # staleness trade-off: fresh x0, one-tick-old params).
+        self.rti_split = rti_split and engine == "vmap"
+        if self.rti_split:
+            self._prepare1 = jax.jit(self.solver.prepare_fn)
+            self._feedback1 = jax.jit(self.solver.feedback_fn)
         self._vehicles: Dict[int, _Vehicle] = {}
         self._next_id = 0
         self._queue: asyncio.Queue = asyncio.Queue()
@@ -147,6 +159,10 @@ class RTServer:
         lh = jnp.zeros(protocol.NH, jnp.float32)
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
         jax.block_until_ready(out.u0)
+        if self.rti_split:
+            qp = self._prepare1(st, p, lh)
+            _, outf = self._feedback1(st, qp, jnp.asarray(sc_x0))
+            jax.block_until_ready(outf.u0)
         if self.engine == "lane":
             # lane mode has two executables (seed + step): compile and
             # dispatch BOTH on the solve thread (first dispatch from a new
@@ -257,12 +273,21 @@ class RTServer:
         if len(batch) == 1:
             vid, req, fut = batch[0]
             veh = self._vehicles[vid]
-            new_state, out = self._step1(
-                veh.state, jnp.asarray(req.x0, jnp.float32),
-                jnp.asarray(req.p_obs, jnp.float32),
-                jnp.asarray(req.r_obs, jnp.float32))
+            x0 = jnp.asarray(req.x0, jnp.float32)
+            p = jnp.asarray(req.p_obs, jnp.float32)
+            lh = jnp.asarray(req.r_obs, jnp.float32)
+            if self.rti_split and veh.prepared_qp is not None:
+                # FEEDBACK phase: solve the prepared QP at the fresh x0
+                new_state, out = self._feedback1(veh.state, veh.prepared_qp,
+                                                 x0)
+            else:
+                new_state, out = self._step1(veh.state, x0, p, lh)
             veh.state = new_state
             self._reply(fut, req, out.status, out.u0, out.x1)
+            if self.rti_split:
+                # PREPARATION phase for the next tick, after the reply is
+                # already on the wire (this is the latency win)
+                veh.prepared_qp = self._prepare1(veh.state, p, lh)
             return
 
         # pad to the next power-of-two bucket: jit caches one executable
@@ -387,6 +412,11 @@ def main(argv=None):
                         choices=("lax", "pallas", "pscan", "fused"),
                         help="lane-engine Riccati backend")
     parser.add_argument("--max-batch", type=int, default=128)
+    parser.add_argument("--rti-split", action="store_true",
+                        help="acados-style RTI preparation/feedback split "
+                             "on the single-vehicle path: linearize for the "
+                             "next tick right after replying, so a request "
+                             "only pays the QP solve (vmap engine only)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_default_device",
@@ -394,7 +424,7 @@ def main(argv=None):
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
                        N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters,
                        engine=args.engine, riccati=args.riccati,
-                       max_batch=args.max_batch))
+                       max_batch=args.max_batch, rti_split=args.rti_split))
 
 
 if __name__ == "__main__":

@@ -137,7 +137,8 @@ class LaneRTISolver:
         return LaneState(xbar=xbar, ubar=ubar)
 
     # ------------------------------------------------------------------
-    def _build_qp(self, state: LaneState, x0, params, lh) -> LaneQP:
+    def _build_qp(self, state: LaneState, x0, params, lh,
+                  yref=None, yref_e=None) -> LaneQP:
         spec = self.spec
         m = spec.model
         nx, nu, N = m.nx, m.nu, spec.N
@@ -182,7 +183,14 @@ class LaneRTISolver:
         Sc = jnp.asarray(self._fused_static["Sc"], dtype)
         M_x = jnp.asarray(scale * (Vx.T @ W), dtype)       # (nx, ny)
         M_u = jnp.asarray(scale * (Vu.T @ W), dtype)       # (nu, ny)
-        yref = jnp.asarray(spec.cost.yref, dtype)[:, None, None]
+        # runtime stage reference: (ny,) shared or (ny, L) per lane
+        # (the reference pushes yref every tick, e.g. pf_ca main.py:113-133)
+        if yref is None:
+            yref = jnp.asarray(spec.cost.yref, dtype)[:, None, None]
+        else:
+            yref = jnp.asarray(yref, dtype)
+            yref = (yref[:, None, None] if yref.ndim == 1
+                    else yref[:, None, :])
         y = (jnp.tensordot(jnp.asarray(Vx, dtype), xs, axes=[[1], [0]])
              + jnp.tensordot(jnp.asarray(Vu, dtype), ubar, axes=[[1], [0]])
              - yref)                                       # (ny, N, L)
@@ -192,9 +200,15 @@ class LaneRTISolver:
             jnp.tensordot(M_u, y, axes=[[1], [0]]), 0, 1)  # (N, nu, L)
         Vx_e = np.asarray(spec.cost.Vx_e); W_e = np.asarray(spec.cost.W_e)
         QN = jnp.asarray(self._fused_static["QN"], dtype)
+        if yref_e is None:
+            yref_e_l = jnp.asarray(spec.cost.yref_e, dtype)[:, None]
+        else:
+            yref_e_l = jnp.asarray(yref_e, dtype)
+            if yref_e_l.ndim == 1:
+                yref_e_l = yref_e_l[:, None]
         yN = (jnp.tensordot(jnp.asarray(Vx_e, dtype), xbar[:, -1, :],
                             axes=[[1], [0]])
-              - jnp.asarray(spec.cost.yref_e, dtype)[:, None])
+              - yref_e_l)
         qx_N = jnp.tensordot(jnp.asarray(Vx_e.T @ W_e, dtype), yN,
                              axes=[[1], [0]])              # (nx, L)
         qx = jnp.concatenate([qx_path, qx_N[None]], axis=0)
@@ -300,15 +314,19 @@ class LaneRTISolver:
 
     # ------------------------------------------------------------------
     def step_fn(self, state: LaneState, x0, params,
-                lh: Optional[jnp.ndarray] = None):
+                lh: Optional[jnp.ndarray] = None,
+                yref=None, yref_e=None):
         """One RTI tick for the whole lane batch.
 
-        x0 (nx, L), params (np, L), lh (nh, L) or (nh,) or None.
+        x0 (nx, L), params (np, L), lh (nh, L) or (nh,) or None;
+        yref (ny,) or (ny, L), yref_e (nx,) or (nx, L) — None uses the
+        builder's static references.
         """
         dtype = state.xbar.dtype
         x0 = jnp.asarray(x0, dtype)
         params = jnp.asarray(params, dtype)
-        qp = self._build_qp(state, x0, params, lh)
+        qp = self._build_qp(state, x0, params, lh, yref=yref,
+                            yref_e=yref_e)
         sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
                               iters=self.ipm_iters, tol=self.ipm_tol,
                               riccati=self.riccati,

@@ -117,6 +117,51 @@ class RTISolver:
         """Jitted convenience wrapper around `step_fn`."""
         return self._jitted_step(state, x0, params, lh, yref, yref_e)
 
+    # ---- RTI preparation/feedback split ----
+    # acados SQP_RTI separates the tick into a PREPARATION phase
+    # (linearize + assemble, done before the new measurement arrives) and
+    # a FEEDBACK phase (solve the QP at the fresh x0) to minimize
+    # measurement-to-command latency (SURVEY.md section 7, hard part 4).
+    # The split is exact here: the measured state enters the QP only
+    # through the initial-state pinning residual dx0 = x0 - xbar[0]
+    # (reference lbx0=ubx0 semantics, src/nmpc_guidance_ca1.cpp:509-516),
+    # so prepare_fn + feedback_fn compose to EXACTLY step_fn.
+    def prepare_fn(self, state: SolverState, params, lh=None,
+                   yref=None, yref_e=None):
+        """Preparation phase: Gauss-Newton linearization at the warm-start
+        iterate.  Independent of the (future) measurement; run it while
+        waiting for the sensor tick."""
+        spec, layout = self.spec, self.layout
+        dtype = state.xbar.dtype
+        N = spec.N
+        ny = spec.cost.ny
+        if yref is None:
+            yref = jnp.broadcast_to(jnp.asarray(spec.cost.yref, dtype),
+                                    (N, ny))
+        if yref_e is None:
+            yref_e = jnp.asarray(spec.cost.yref_e, dtype)
+        params = jnp.asarray(params, dtype)
+        # placeholder pinning at the predicted state (dx0 = 0); feedback
+        # replaces it with the fresh measurement residual
+        return linearize.build_qp(spec, layout, state.xbar, state.ubar,
+                                  state.xbar[0], yref, yref_e, params, lh)
+
+    def feedback_fn(self, state: SolverState, qp, x0):
+        """Feedback phase: re-pin the prepared QP at the fresh measurement
+        and solve.  `qp` comes from `prepare_fn` on the SAME state."""
+        dtype = state.xbar.dtype
+        x0 = jnp.asarray(x0, dtype)
+        qp = qp._replace(dx0=x0 - state.xbar[0])
+        qp_solve = (ipm_solve if self.qp_backend == "riccati"
+                    else dense_qp_solve)
+        sol = qp_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
+        xbar = state.xbar + sol.dx
+        ubar = state.ubar + sol.du
+        new_state = SolverState(xbar=xbar, ubar=ubar)
+        out = SolverOutput(u0=ubar[0], x1=xbar[1], xtraj=xbar, utraj=ubar,
+                           qp_gap=sol.gap, status=sol.status)
+        return new_state, out
+
     @property
     def _jitted_step(self):
         if not hasattr(self, "_cached_jit"):

@@ -66,3 +66,33 @@ def test_fused_backend_through_solver():
         outs[backend] = np.asarray(out.u0)
     np.testing.assert_allclose(outs["fused_interpret"], outs["lax"],
                                rtol=1e-12, atol=1e-12)
+
+
+def test_fused_ipm_full_hull_nx14():
+    """Fused kernel on the FULL 14-state hydrodynamic hull (usv_pf_ca:
+    nu=2, 4 HARD h rows, state boxes — no soft family): must match the
+    lax lane IPM exactly.  This is the kernel's claimed-but-previously-
+    unverified shape (kernels/riccati_pallas.py VMEM-fit note)."""
+    spec = builders.usv_pf_ca(Tf=0.4, N=8)
+    sc = scenarios.pf_ca_default()
+    L = 128
+    rng = np.random.default_rng(3)
+    x0s = np.broadcast_to(sc.x0, (L, 14)).astype(np.float64).copy()
+    x0s[:, 6] += 0.1 * rng.standard_normal(L)
+    solver = LaneRTISolver(spec, ipm_iters=5)
+    st = solver.init_state(x0s, dtype=jnp.float64)
+    qp = solver._build_qp(
+        st, to_lanes(jnp.asarray(x0s)),
+        to_lanes(np.broadcast_to(sc.params, (L, 8)).astype(np.float64)),
+        to_lanes(np.broadcast_to(sc.lh, (L, 4)).astype(np.float64)))
+    ref = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=5,
+                          riccati="lax")
+    fus = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=5,
+                          riccati="fused_interpret",
+                          fused_static=solver._fused_static)
+    np.testing.assert_allclose(np.asarray(fus.dx), np.asarray(ref.dx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.du), np.asarray(ref.du),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(fus.status),
+                                  np.asarray(ref.status))

@@ -91,6 +91,67 @@ def test_lane_matches_reference_engine_pf_ca():
                                np.asarray(outR.x1), atol=5e-6)
 
 
+def test_lane_runtime_yref_matches_reference_engine():
+    """Runtime stage references through the lane engine: shared (ny,) and
+    per-lane (ny, L) yref/yref_e must reproduce the per-instance engine
+    fed the equivalent (N, ny) references (the pf family pushes yref every
+    tick, reference scripts/usv_pf_ca/main.py:113-133)."""
+    B = 4
+    spec = builders.usv_pf_ca(Tf=1.0, N=15)
+    rng = np.random.default_rng(2)
+    sc = scenarios.pf_ca_default()
+    x0s = np.broadcast_to(sc.x0, (B, 14)).copy()
+    x0s[:, 6] += 0.1 * rng.standard_normal(B)
+    params = np.broadcast_to(sc.params, (B, 8)).copy()
+    lhs = np.broadcast_to(sc.lh, (B, 4)).copy()
+    ny = spec.cost.ny
+
+    # per-lane references: each instance tracks a different surge speed
+    yref_b = np.broadcast_to(sc.yref, (B, ny)).copy()
+    yref_b[:, 3] = 0.5 + 0.1 * np.arange(B)
+    yref_e_b = yref_b[:, :14].copy()
+
+    ref = RTISolver(spec, ipm_iters=25)
+    stR = jax.vmap(lambda x: ref.init_state(x, dtype=jnp.float64))(
+        jnp.asarray(x0s))
+    stR, outR = jax.vmap(
+        lambda st, x, p, lh, yr, yre: ref.step_fn(
+            st, x, p, lh,
+            yref=jnp.tile(yr, (spec.N, 1)), yref_e=yre))(
+        stR, jnp.asarray(x0s), jnp.asarray(params), jnp.asarray(lhs),
+        jnp.asarray(yref_b), jnp.asarray(yref_e_b))
+
+    lane = LaneRTISolver(spec, ipm_iters=25)
+    stL = lane.init_state(x0s, dtype=jnp.float64)
+    stL, outL = lane.step_fn(
+        stL, to_lanes(jnp.asarray(x0s, jnp.float64)),
+        to_lanes(jnp.asarray(params, jnp.float64)),
+        to_lanes(jnp.asarray(lhs, jnp.float64)),
+        yref=to_lanes(jnp.asarray(yref_b, jnp.float64)),
+        yref_e=to_lanes(jnp.asarray(yref_e_b, jnp.float64)))
+    np.testing.assert_allclose(np.asarray(from_lanes(outL.u0)),
+                               np.asarray(outR.u0), atol=5e-6)
+
+    # shared (ny,) reference — same value in every lane
+    yref_s = np.asarray(sc.yref)
+    stR2 = jax.vmap(lambda x: ref.init_state(x, dtype=jnp.float64))(
+        jnp.asarray(x0s))
+    stR2, outR2 = jax.vmap(
+        lambda st, x, p, lh: ref.step_fn(
+            st, x, p, lh,
+            yref=jnp.tile(jnp.asarray(yref_s), (spec.N, 1)),
+            yref_e=jnp.asarray(yref_s[:14])))(
+        stR2, jnp.asarray(x0s), jnp.asarray(params), jnp.asarray(lhs))
+    stL2 = lane.init_state(x0s, dtype=jnp.float64)
+    stL2, outL2 = lane.step_fn(
+        stL2, to_lanes(jnp.asarray(x0s, jnp.float64)),
+        to_lanes(jnp.asarray(params, jnp.float64)),
+        to_lanes(jnp.asarray(lhs, jnp.float64)),
+        yref=jnp.asarray(yref_s), yref_e=jnp.asarray(yref_s[:14]))
+    np.testing.assert_allclose(np.asarray(from_lanes(outL2.u0)),
+                               np.asarray(outR2.u0), atol=5e-6)
+
+
 def test_lane_closed_loop_flagship():
     """Lane engine runs the flagship scenario closed-loop (solver-as-plant)
     and avoids the obstacles, mirroring test_sqp_rti's check."""

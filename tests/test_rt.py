@@ -218,3 +218,46 @@ def test_server_lane_engine(tmp_path):
         s6.close()
         for s in socks[:3]:
             s.close()
+
+
+def test_server_rti_split(tmp_path):
+    """--rti-split serving: with constant obstacle params the
+    prepare+feedback schedule must produce EXACTLY the same replies as the
+    fused single-phase server (the split is exact when params are
+    unchanged between preparation and feedback; test_sqp_rti proves the
+    solver-level identity, this proves the serving plumbing)."""
+    import socket as socketlib
+
+    ak = math.pi / 2
+    p = tuple([100.0] * 16)
+    r = tuple([0.0] * 8)
+
+    def run_ticks(sock_path, n):
+        s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        s.connect(str(sock_path))
+        x0 = (0.7, 0.0, -4.0, -ak, -ak, 0.0, 0.0, 0.0)
+        out = []
+        for k in range(n):
+            req = protocol.Request(seq=k, x0=x0, p_obs=p, r_obs=r)
+            s.sendall(protocol.pack_request(req))
+            buf = b""
+            while len(buf) < protocol.RESP_SIZE:
+                buf += s.recv(protocol.RESP_SIZE - len(buf))
+            resp = protocol.unpack_response(buf)
+            assert resp.seq == k
+            out.append((resp.u0, resp.x1, resp.status))
+            x0 = resp.x1                      # closed loop via the wire
+        s.close()
+        return out
+
+    sock_a = tmp_path / "a.sock"
+    with _ServerThread(sock_a, N=20, Tf=1.0, ipm_iters=6):
+        ref = run_ticks(sock_a, 5)
+    sock_b = tmp_path / "b.sock"
+    with _ServerThread(sock_b, N=20, Tf=1.0, ipm_iters=6, rti_split=True):
+        split = run_ticks(sock_b, 5)
+
+    for (u_a, x_a, st_a), (u_b, x_b, st_b) in zip(ref, split):
+        assert st_b in (0, 1)
+        np.testing.assert_allclose(u_b, u_a, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(x_b, x_a, rtol=0, atol=1e-6)

@@ -102,3 +102,35 @@ def test_closed_loop_flagship_tracks_and_avoids():
         assert dmin > 1.5 - 0.2 - 1e-3, (i, dmin)
     # solver healthy nearly everywhere
     assert np.mean(np.asarray(res.status) == 0) > 0.95
+
+
+def test_rti_prepare_feedback_split_exact():
+    """prepare_fn + feedback_fn == step_fn exactly (the measured state
+    enters only through the dx0 pinning residual), including when the
+    fresh measurement differs from the predicted state — the acados
+    RTI preparation/feedback schedule (SURVEY.md section 7 hard part 4)."""
+    spec = builders.usv_guidance_ca1(Tf=2.0, N=25)
+    solver = RTISolver(spec, ipm_iters=15)
+    sc = scenarios.guidance_ca1_default()
+    params = jnp.asarray(sc.params, jnp.float64)
+    lh = jnp.asarray(sc.lh, jnp.float64)
+    st = solver.init_state(jnp.asarray(sc.x0), dtype=jnp.float64)
+
+    # a couple of warm-up ticks so xbar != x0 everywhere
+    x = jnp.asarray(sc.x0, jnp.float64)
+    for _ in range(2):
+        st, out = solver.step_fn(st, x, params, lh)
+        x = out.x1
+
+    # fresh measurement deviates from the stage-1 prediction
+    x_meas = x + 0.01 * jnp.arange(8, dtype=jnp.float64)
+
+    st_j, out_j = solver.step_fn(st, x_meas, params, lh)
+    qp = solver.prepare_fn(st, params, lh)
+    st_s, out_s = solver.feedback_fn(st, qp, x_meas)
+
+    np.testing.assert_array_equal(np.asarray(out_s.u0), np.asarray(out_j.u0))
+    np.testing.assert_array_equal(np.asarray(out_s.xtraj),
+                                  np.asarray(out_j.xtraj))
+    np.testing.assert_array_equal(np.asarray(st_s.xbar),
+                                  np.asarray(st_j.xbar))
