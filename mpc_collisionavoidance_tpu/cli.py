@@ -46,16 +46,52 @@ def _cmd_run(args):
         with open(args.config) as f:
             cfg = FrameworkConfig.from_dict(json.load(f))
     else:
-        cfg = FrameworkConfig(model=args.model, N=args.N, Tf=args.tf)
+        # unset -N/--tf fall back to the variant's own reference defaults
+        # (builders encode the SURVEY.md 2.4 (Tf, N) per variant)
+        from mpc_collisionavoidance_tpu.ocp import builders as _b
+        import inspect
+        N, Tf = args.N, args.tf
+        if args.model in _b.BUILDERS:   # unknown names fall through to
+            sig = inspect.signature(_b.BUILDERS[args.model])  # config's error
+            if N is None:
+                N = sig.parameters["N"].default
+            if Tf is None:
+                Tf = sig.parameters["Tf"].default
+        cfg = FrameworkConfig(model=args.model, N=N or 100, Tf=Tf or 5.0)
 
     spec = cfg.build_spec()
     solver = RTISolver(spec, ipm_iters=cfg.solver.ipm_iters)
 
-    # scenario: the flagship default where applicable, else model defaults
-    if cfg.model == "usv_guidance_ca1":
-        sc = scenarios.guidance_ca1_default()
-        x0, params, lh = sc.x0, sc.params, sc.lh
-        err_idx = (3, 2)
+    # scenario: each variant's true reference experiment (the role of the
+    # per-variant scripts/<v>/main.py); model defaults otherwise.
+    # entries: (factory, (heading-err idx, cross-track idx))
+    table = {
+        "usv_guidance_ca1": (scenarios.guidance_ca1_default, (3, 2)),
+        "usv_guidance_ca": (scenarios.guidance_ca_default, (3, 2)),
+        "usv_pf_ca": (scenarios.pf_ca_default, (0, 6)),
+        "usv_pf": (scenarios.pf_default, (0, 6)),
+        "usv_acados": (scenarios.acados_speed_default, (0, 0)),
+        "usv_low_level": (scenarios.low_level_default, (0, 3)),
+        "usv_position_control": (scenarios.position_control_default,
+                                 (0, 1)),
+        "usv_guidance": (scenarios.guidance_default, (2, 7)),
+        "usv_guidance2": (scenarios.guidance2_default, (2, 8)),
+        "usv_guidance3": (scenarios.guidance3_default, (2, 8)),
+        "usv_guidance4": (scenarios.guidance4_default, (3, 2)),
+        "usv_guidance5": (scenarios.guidance5_default, (3, 2)),
+    }
+    yref = yref_e = None
+    if cfg.model in table:
+        factory, err_idx = table[cfg.model]
+        sc = factory()
+        x0 = sc.x0
+        m = spec.model
+        params = (np.asarray(sc.params) if np.size(sc.params)
+                  else np.zeros((m.np_,)))
+        lh = jnp.asarray(sc.lh) if np.size(sc.lh) else None
+        if sc.yref is not None:
+            yref = jnp.tile(jnp.asarray(sc.yref, jnp.float64), (spec.N, 1))
+            yref_e = jnp.asarray(sc.yref_e, jnp.float64)
     else:
         m = spec.model
         x0 = m.x0
@@ -65,6 +101,7 @@ def _cmd_run(args):
 
     run = jax.jit(lambda x, p: run_closed_loop(
         solver, x, p, lh, n_steps=args.steps, err_idx=err_idx,
+        yref=yref, yref_e=yref_e,
         transient=min(400, args.steps // 2),
         metric_norm=max(args.steps - min(400, args.steps // 2), 1)))
     timer = SolveTimer(batch=args.steps)
@@ -98,6 +135,66 @@ def _cmd_run(args):
                                    obstacles, radii, save_path=args.plots)
             print(f"plots: {args.plots}_timeseries.png, {args.plots}_xy.png",
                   file=sys.stderr)
+        elif cfg.model in ("usv_pf", "usv_pf_ca"):
+            if cfg.model == "usv_pf_ca":
+                obstacles = np.asarray(params).reshape(-1, 2)
+                radii = np.asarray(lh)
+            else:
+                obstacles = radii = None
+            plotting.plot_pf_family(simX, np.asarray(res.simU), spec.dt,
+                                    obstacles, radii, save_path=args.plots)
+            print(f"plots: {args.plots}_{{timeseries,xy,errors}}.png",
+                  file=sys.stderr)
+    return 0 if out["finite"] else 1
+
+
+def _cmd_race(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_collisionavoidance_tpu.ocp import builders
+    from mpc_collisionavoidance_tpu.sim.closed_loop import run_closed_loop
+    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+    from mpc_collisionavoidance_tpu.utils import track as trk
+
+    if args.platform:
+        jax.config.update("jax_default_device",
+                          jax.devices(args.platform)[0])
+    t = trk.make_synthetic_track()
+    spec = builders.build("race_cars", track=t)
+    m = spec.model
+    solver = RTISolver(spec, ipm_iters=18)
+    ny, nx, N = spec.cost.ny, m.nx, spec.N
+
+    def yref_fn(x, k):
+        # the reference's receding progress reference: s ramps from the
+        # current s0 to s0 + 3 across the horizon (race_cars/main.py:74-83)
+        s0 = x[0]
+        ramp = s0 + 3.0 * jnp.arange(N) / N
+        return (jnp.zeros((N, ny)).at[:, 0].set(ramp),
+                jnp.zeros(nx).at[0].set(s0 + 3.0))
+
+    res = jax.jit(lambda x: run_closed_loop(
+        solver, x, jnp.zeros(0), n_steps=args.steps,
+        yref_fn=yref_fn))(jnp.asarray(m.x0, jnp.float64))
+    simX = np.asarray(res.simX)
+    status = np.asarray(res.status)
+    out = {
+        "track_length_m": round(t.length, 3),
+        "steps": args.steps,
+        "s_final": round(float(simX[-1, 0]), 3),
+        "laps": round(float(simX[-1, 0]) / t.length, 2),
+        "v_max": round(float(np.max(simX[:, 3])), 3),
+        "n_abs_max": round(float(np.max(np.abs(simX[:, 1]))), 4),
+        "status_ok_rate": float(np.mean(status == 0)),
+        "finite": bool(np.all(np.isfinite(simX))),
+    }
+    print(json.dumps(out))
+    if args.plots:
+        from mpc_collisionavoidance_tpu.utils import plotting
+        plotting.plot_race_track(t, simX, save_path=args.plots)
+        print(f"plot: {args.plots}_track.png", file=sys.stderr)
     return 0 if out["finite"] else 1
 
 
@@ -117,12 +214,24 @@ def main(argv=None):
     p_run = sub.add_parser("run", help="closed-loop experiment")
     p_run.add_argument("--config", help="FrameworkConfig JSON file")
     p_run.add_argument("--model", default="usv_guidance_ca1")
-    p_run.add_argument("-N", type=int, default=100)
-    p_run.add_argument("--tf", type=float, default=5.0)
+    p_run.add_argument("-N", type=int, default=None,
+                       help="horizon stages (default: the variant's "
+                            "reference value)")
+    p_run.add_argument("--tf", type=float, default=None,
+                       help="horizon length [s] (default: the variant's "
+                            "reference value)")
     p_run.add_argument("--steps", type=int, default=1000)
     p_run.add_argument("--plots", help="save dashboards to this path prefix")
     p_run.add_argument("--platform", help="pin jax platform (cpu/tpu)")
     p_run.set_defaults(fn=_cmd_run)
+
+    p_race = sub.add_parser(
+        "race", help="race the synthetic closed track (curved-kappa "
+                     "race_cars with the receding progress reference)")
+    p_race.add_argument("--steps", type=int, default=700)
+    p_race.add_argument("--plots", help="save the track plot to this prefix")
+    p_race.add_argument("--platform", help="pin jax platform (cpu/tpu)")
+    p_race.set_defaults(fn=_cmd_race)
 
     p_bench = sub.add_parser("bench", help="headline throughput benchmark")
     p_bench.set_defaults(fn=_cmd_bench)

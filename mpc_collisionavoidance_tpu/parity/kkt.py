@@ -37,7 +37,10 @@ class KKTReport(NamedTuple):
 
 
 def kkt_report(solver: RTISolver, state: SolverState, x0, params,
-               lh=None) -> KKTReport:
+               lh=None, yref=None, yref_e=None) -> KKTReport:
+    """`yref`/`yref_e`: the runtime references the iterate was solved
+    against (None = the builder's static ones) — the fixed-point RTI step
+    must re-solve the SAME problem."""
     spec = solver.spec
     m = spec.model
     xt, ut = state.xbar, state.ubar
@@ -75,7 +78,8 @@ def kkt_report(solver: RTISolver, state: SolverState, x0, params,
             viol = viol - band[None, :]
         hviol = max(float(jnp.max(viol)), 0.0)
 
-    _, out2 = solver.step_fn(state, x0, params, lh)
+    _, out2 = solver.step_fn(state, x0, params, lh, yref=yref,
+                             yref_e=yref_e)
     step = float(jnp.max(jnp.abs(out2.utraj - ut)))
 
     return KKTReport(dyn_residual=dyn, x0_residual=x0r,

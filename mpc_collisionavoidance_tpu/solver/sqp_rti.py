@@ -170,12 +170,25 @@ class RTISolver:
 
     # ---- converged SQP (oracle / non-realtime mode) ----
     def solve_converged(self, state: SolverState, x0, params, lh=None,
-                        yref=None, yref_e=None, sqp_iters: int = 30):
-        """Run `sqp_iters` full SQP iterations (re-linearize each time)."""
+                        yref=None, yref_e=None, sqp_iters: int = 30,
+                        step_alpha: float = 1.0):
+        """Run `sqp_iters` SQP iterations (re-linearize each time).
+
+        `step_alpha`: primal step damping (globalization).  Full-step SQP
+        (alpha = 1, the acados default) can enter a period-2 limit cycle
+        on long-horizon nonconvex problems from a cold start (measured:
+        flagship N=100 from 4 m cross-track error cycles at step norm
+        0.49 forever; alpha = 0.5 converges the same problem to a 1e-16
+        KKT fixed point).  Damping moves the iteration path, NOT the
+        fixed point: x* satisfies dx = 0 for any alpha."""
 
         def body(st, _):
-            st, out = self.step_fn(st, x0, params, lh, yref, yref_e)
-            return st, out
+            st2, out = self.step_fn(st, x0, params, lh, yref, yref_e)
+            if step_alpha != 1.0:
+                st2 = SolverState(
+                    xbar=st.xbar + step_alpha * (st2.xbar - st.xbar),
+                    ubar=st.ubar + step_alpha * (st2.ubar - st.ubar))
+            return st2, out
 
         state, outs = jax.lax.scan(body, state, None, length=sqp_iters)
         last = jax.tree.map(lambda a: a[-1], outs)

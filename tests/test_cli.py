@@ -39,3 +39,25 @@ def test_cli_run_rejects_unknown_model():
     out = _run("run", "--model", "usv_bogus", "--steps", "5")
     assert out.returncode != 0
     assert "unknown model" in (out.stdout + out.stderr)
+
+
+def test_cli_run_uses_variant_reference_defaults(tmp_path):
+    """`run --model usv_acados` with no -N/--tf picks the variant's own
+    reference horizon (N=20, Tf=1 — SURVEY.md 2.4), not the flagship's."""
+    out = _run("run", "--model", "usv_acados", "--steps", "40",
+               "--platform", "cpu")
+    assert out.returncode == 0, out.stderr[-500:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["N"] == 20 and metrics["Tf"] == 1.0
+    assert metrics["finite"] is True
+
+
+def test_cli_race(tmp_path):
+    """`race` runs the curved-track race car and saves the track plot."""
+    out = _run("race", "--steps", "120", "--platform", "cpu",
+               "--plots", str(tmp_path / "race"))
+    assert out.returncode == 0, out.stderr[-500:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["finite"] is True
+    assert metrics["s_final"] > 0.3          # made progress on the track
+    assert (tmp_path / "race_track.png").exists()
