@@ -192,6 +192,11 @@ def dense_qp_solve(qp: QPData, iters: int = 18, tol: float = 1e-7
     dx, du = expand(d, sol.w, N, nu)
     # dynamics hold exactly by construction after condensing
     eq_res = jnp.zeros((), dx.dtype)
+    # a NaN-poisoned problem (e.g. NaN dx0) freezes w at a finite value
+    # but expands to non-finite dx — surface it as status 2, matching
+    # ops/ipm.py semantics
+    status = jnp.where(jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du)),
+                       sol.status, 2)
     return IPMSolution(dx=dx, du=du,
                        sl=sol.sl.reshape(N, nS), su=sol.su.reshape(N, nS),
-                       gap=sol.gap, eq_res=eq_res, status=sol.status)
+                       gap=sol.gap, eq_res=eq_res, status=status)

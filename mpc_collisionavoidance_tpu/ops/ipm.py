@@ -243,7 +243,11 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
     eq_res = jnp.max(jnp.abs(cbar), initial=0.0)
     eq_res = jnp.maximum(eq_res, jnp.max(jnp.abs(qp.dx0 - dx[0]), initial=0.0))
 
-    finite = jnp.isfinite(gap) & jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du))
+    # eq_res participates: a NaN-poisoned problem (e.g. NaN measurement in
+    # dx0) freezes the iterate at a finite value but leaves a non-finite
+    # residual — that must surface as status 2, not "merely unconverged"
+    finite = (jnp.isfinite(gap) & jnp.isfinite(eq_res)
+              & jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du)))
     # status tolerance is dtype-aware: in float32 the gap floors at
     # ~3e-7, so a 1e-7 request would label fully-converged solves as
     # status 1 (observed in bench/CLI runs); the freeze threshold

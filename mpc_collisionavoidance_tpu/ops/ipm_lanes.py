@@ -106,7 +106,7 @@ def ipm_solve_lanes(qp: LaneQP,
         dx, du, gap, eq_res = fused_ipm_lanes(
             qp, idxbu, idxbx, iters=iters, tau=tau, sigma=sigma, mu0=mu0,
             interpret=riccati == "fused_interpret", static=fused_static)
-        finite = (jnp.isfinite(gap)
+        finite = (jnp.isfinite(gap) & jnp.isfinite(eq_res)
                   & jnp.all(jnp.isfinite(dx), axis=(0, 1))
                   & jnp.all(jnp.isfinite(du), axis=(0, 1)))
         eff_tol = tol if dtype == jnp.float64 else max(tol, 5e-7)
@@ -320,7 +320,10 @@ def ipm_solve_lanes(qp: LaneQP,
     eq_res = jnp.max(jnp.abs(cbar), axis=(0, 1))
     eq_res = jnp.maximum(eq_res, jnp.max(jnp.abs(qp.dx0 - dx[0]), axis=0))
 
-    finite = (jnp.isfinite(gap)
+    # eq_res participates: a NaN-poisoned lane (e.g. NaN measurement in
+    # dx0) can freeze at a finite iterate while its residual is NaN —
+    # that lane must report status 2, not 1 (same rule as ops/ipm.py)
+    finite = (jnp.isfinite(gap) & jnp.isfinite(eq_res)
               & jnp.all(jnp.isfinite(dx), axis=(0, 1))
               & jnp.all(jnp.isfinite(du), axis=(0, 1)))
     # status tolerance is dtype-aware: in float32 the gap floors at
