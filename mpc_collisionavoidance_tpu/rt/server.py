@@ -43,11 +43,23 @@ class _Vehicle:
     prepared_qp: object = None   # RTI-split: linearization for the NEXT tick
 
 
+@dataclasses.dataclass
+class _Req:
+    """Version-normalized request (v1 flagship frame or v2 generic)."""
+    version: int
+    seq: int
+    x0: tuple
+    params: tuple
+    lh: tuple
+    yref: tuple        # () = builder's static references
+
+
 class RTServer:
     def __init__(self, path: str, N: int = 100, Tf: float = 5.0,
                  ipm_iters: int = 8, batch_window_ms: float = 2.0,
                  max_batch: int = 128, engine: str = "vmap",
-                 riccati: str = "lax", rti_split: bool = False):
+                 riccati: str = "lax", rti_split: bool = False,
+                 model: str = "usv_guidance_ca1"):
         """`engine` selects the fleet compute path:
 
         - "vmap" (default): per-request batches through the vmapped
@@ -65,7 +77,20 @@ class RTServer:
         if engine not in ("vmap", "lane"):
             raise ValueError(f"unknown engine {engine!r}")
         self.path = path
-        spec = builders.usv_guidance_ca1(Tf=Tf, N=N)
+        # one server instance = one OCP model, mirroring the reference's
+        # one-generated-solver-per-node deployment (SURVEY.md §2.1); any
+        # zoo model is servable through the v2 frames, the flagship also
+        # through the fixed v1 frames
+        spec = builders.build(model, Tf=Tf, N=N)
+        self.model = model
+        self.model_id = protocol.MODEL_IDS[model]
+        self.nx = spec.model.nx
+        self.nu = spec.model.nu
+        self.np_ = spec.model.np_
+        self.nh = spec.model.nh
+        self.ny = spec.cost.ny
+        self._default_yref = np.asarray(spec.cost.yref, np.float32)
+        self._yref_e_len = int(np.asarray(spec.cost.yref_e).shape[0])
         self.engine = engine
         self.solver = RTISolver(spec, ipm_iters=ipm_iters)
         self.batch_window = batch_window_ms / 1e3
@@ -102,23 +127,28 @@ class RTServer:
             self._lane_of: Dict[int, int] = {}
             # host-side last-request rows (lane-indexed); sentinel obstacle
             # params keep unassigned lanes on benign far-away problems
-            self._x0_rows = np.zeros((L, protocol.NX), np.float32)
-            self._p_rows = np.full((L, protocol.NP), 100.0, np.float32)
-            self._lh_rows = np.zeros((L, protocol.NH), np.float32)
+            self._x0_rows = np.zeros((L, self.nx), np.float32)
+            self._p_rows = np.full((L, self.np_), 100.0, np.float32)
+            self._lh_rows = np.zeros((L, self.nh), np.float32)
+            self._yref_rows = np.broadcast_to(
+                self._default_yref, (L, self.ny)).copy()
             self._lane_state = self.lane_solver.init_state(self._x0_rows)
 
             # one packed upload + one packed fetch per tick: on tunneled
             # backends every host<->device transfer is its own round trip
-            # (~30 ms on the dev TPU), so x0/p/lh go up as ONE (L, NX+NP+NH)
-            # array and u0/x1/status come back as ONE (nu+nx+1, L) array
-            NX, NP, NH = protocol.NX, protocol.NP, protocol.NH
+            # (~30 ms on the dev TPU), so x0/p/lh/yref go up as ONE
+            # (L, nx+np+nh+ny) array and u0/x1/status come back as ONE
+            # (nu+nx+1, L) array
+            NX, NP, NH = self.nx, self.np_, self.nh
 
             def _tick(state, packed):
                 xL = packed[:, :NX].T
                 pL = packed[:, NX:NX + NP].T
-                lhL = packed[:, NX + NP:].T
-                new_state, outs = self.lane_solver.step_fn(state, xL, pL,
-                                                           lhL)
+                lhL = packed[:, NX + NP:NX + NP + NH].T
+                yL = packed[:, NX + NP + NH:].T          # (ny, L)
+                new_state, outs = self.lane_solver.step_fn(
+                    state, xL, pL, lhL, yref=yL,
+                    yref_e=yL[:self._yref_e_len])
                 out = jnp.concatenate(
                     [outs.u0, outs.x1,
                      outs.status[None].astype(jnp.float32)], axis=0)
@@ -153,10 +183,10 @@ class RTServer:
         to power-of-two buckets; `all_buckets=True` pre-compiles every
         bucket up to max_batch (production fleets), the default warms only
         the smallest (dev startup time)."""
-        sc_x0 = np.zeros(protocol.NX, np.float32)
+        sc_x0 = np.zeros(self.nx, np.float32)
         st = self.solver.init_state(sc_x0)
-        p = jnp.zeros(protocol.NP, jnp.float32)
-        lh = jnp.zeros(protocol.NH, jnp.float32)
+        p = jnp.zeros(self.np_, jnp.float32)
+        lh = jnp.zeros(self.nh, jnp.float32)
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
         jax.block_until_ready(out.u0)
         if self.rti_split:
@@ -172,7 +202,8 @@ class RTServer:
                 st_l = self._lane_seed(
                     self._lane_state, jnp.asarray(sc_x0), jnp.int32(0))
                 packed = np.concatenate(
-                    [self._x0_rows, self._p_rows, self._lh_rows], axis=1)
+                    [self._x0_rows, self._p_rows, self._lh_rows,
+                     self._yref_rows], axis=1)
                 st_l, out_l = self._lane_tick(st_l, jnp.asarray(packed))
                 # full host fetch, not just a sync: the FIRST device->host
                 # transfer also pays one-time (remote-compile) cost
@@ -188,9 +219,9 @@ class RTServer:
         for b in buckets:
             stB = jax.vmap(lambda _: self.solver.init_state(sc_x0))(
                 jnp.arange(b))
-            xB = jnp.zeros((b, protocol.NX), jnp.float32)
-            _, outB = self._stepB(stB, xB, jnp.zeros((b, protocol.NP)),
-                                  jnp.zeros((b, protocol.NH)))
+            xB = jnp.zeros((b, self.nx), jnp.float32)
+            _, outB = self._stepB(stB, xB, jnp.zeros((b, self.np_)),
+                                  jnp.zeros((b, self.nh)))
             jax.block_until_ready(outB.u0)
         # warm the dispatch path ON THE SOLVE THREAD — the first solve from
         # a worker thread pays extra overhead that must not hit tick 0
@@ -210,18 +241,58 @@ class RTServer:
     # ------------------------------------------------------------------
     async def _handle_client(self, reader: asyncio.StreamReader,
                              writer: asyncio.StreamWriter):
+        import struct
+
         vid = self._next_id
         self._next_id += 1
         try:
             while True:
-                buf = await reader.readexactly(protocol.REQ_SIZE)
-                req = protocol.unpack_request(buf)
+                magic_buf = await reader.readexactly(4)
+                (magic,) = struct.unpack("<I", magic_buf)
+                if magic == protocol.REQ_MAGIC:
+                    buf = magic_buf + await reader.readexactly(
+                        protocol.REQ_SIZE - 4)
+                    r1 = protocol.unpack_request(buf)
+                    if self.model != "usv_guidance_ca1":
+                        # v1 frames ARE the flagship node's boundary
+                        writer.write(protocol.pack_response(
+                            protocol.Response(
+                                seq=r1.seq,
+                                status=protocol.STATUS_BAD_REQUEST,
+                                u0=0.0, x1=(0.0,) * protocol.NX)))
+                        await writer.drain()
+                        continue
+                    req = _Req(1, r1.seq, r1.x0, r1.p_obs, r1.r_obs, ())
+                elif magic == protocol.REQ2_MAGIC:
+                    hdr_buf = magic_buf + await reader.readexactly(
+                        protocol.REQ2_HDR_SIZE - 4)
+                    hdr = protocol.unpack_request2_header(hdr_buf)
+                    seq, mid, nx, np_, nh, ny = hdr
+                    payload = await reader.readexactly(
+                        4 * (nx + np_ + nh + ny))
+                    if (mid != self.model_id or nx != self.nx
+                            or np_ != self.np_ or nh != self.nh
+                            or ny not in (0, self.ny)):
+                        # reply with the server's own dims so the client
+                        # can print a useful mismatch message
+                        writer.write(protocol.pack_response2(
+                            protocol.Response2(
+                                seq=seq,
+                                status=protocol.STATUS_BAD_REQUEST,
+                                u0=(0.0,) * self.nu,
+                                x1=(0.0,) * self.nx)))
+                        await writer.drain()
+                        continue
+                    r2 = protocol.unpack_request2_payload(hdr, payload)
+                    req = _Req(2, seq, r2.x0, r2.params, r2.lh, r2.yref)
+                else:
+                    raise ValueError(f"bad request magic 0x{magic:08x}")
                 fut = asyncio.get_running_loop().create_future()
                 await self._queue.put((vid, req, fut))
-                resp: protocol.Response = await fut
-                writer.write(protocol.pack_response(resp))
+                writer.write(await fut)       # fut resolves to wire bytes
                 await writer.drain()
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                ValueError):
             pass
         finally:
             self._release_vehicle(vid)
@@ -252,11 +323,11 @@ class RTServer:
         """Throwaway solve absorbing first-dispatch overhead on the thread
         that will serve requests (run from warmup(); measured ~60 ms that
         would otherwise land inside the first vehicle's tick-0 budget)."""
-        zeros = np.zeros(protocol.NX, np.float32)
+        zeros = np.zeros(self.nx, np.float32)
         st = self.solver.init_state(zeros)
         _, out = self._step1(st, jnp.asarray(zeros),
-                             jnp.zeros(protocol.NP, jnp.float32),
-                             jnp.zeros(protocol.NH, jnp.float32))
+                             jnp.zeros(self.np_, jnp.float32),
+                             jnp.zeros(self.nh, jnp.float32))
         jax.block_until_ready(out.u0)
 
     # ------------------------------------------------------------------
@@ -274,20 +345,23 @@ class RTServer:
             vid, req, fut = batch[0]
             veh = self._vehicles[vid]
             x0 = jnp.asarray(req.x0, jnp.float32)
-            p = jnp.asarray(req.p_obs, jnp.float32)
-            lh = jnp.asarray(req.r_obs, jnp.float32)
+            p = jnp.asarray(req.params, jnp.float32)
+            lh = jnp.asarray(req.lh, jnp.float32)
+            yref, yref_e = self._req_yref(req)
             if self.rti_split and veh.prepared_qp is not None:
                 # FEEDBACK phase: solve the prepared QP at the fresh x0
                 new_state, out = self._feedback1(veh.state, veh.prepared_qp,
                                                  x0)
             else:
-                new_state, out = self._step1(veh.state, x0, p, lh)
+                new_state, out = self._step1(veh.state, x0, p, lh,
+                                             yref, yref_e)
             veh.state = new_state
             self._reply(fut, req, out.status, out.u0, out.x1)
             if self.rti_split:
                 # PREPARATION phase for the next tick, after the reply is
                 # already on the wire (this is the latency win)
-                veh.prepared_qp = self._prepare1(veh.state, p, lh)
+                veh.prepared_qp = self._prepare1(veh.state, p, lh,
+                                                 yref, yref_e)
             return
 
         # pad to the next power-of-two bucket: jit caches one executable
@@ -303,11 +377,23 @@ class RTServer:
         row0 = batch[0][1]
         x0 = jnp.asarray([r.x0 for _, r, _ in batch]
                          + [row0.x0] * pad, jnp.float32)
-        p = jnp.asarray([r.p_obs for _, r, _ in batch]
-                        + [row0.p_obs] * pad, jnp.float32)
-        lh = jnp.asarray([r.r_obs for _, r, _ in batch]
-                         + [row0.r_obs] * pad, jnp.float32)
-        new_states, outs = self._stepB(states, x0, p, lh)
+        p = jnp.asarray([r.params for _, r, _ in batch]
+                        + [row0.params] * pad, jnp.float32)
+        lh = jnp.asarray([r.lh for _, r, _ in batch]
+                         + [row0.lh] * pad, jnp.float32)
+        if any(len(r.yref) for _, r, _ in batch):
+            # mixed presence: absentees get the builder's static yref so
+            # the batch stays one executable per bucket size
+            rows = [(r.yref if len(r.yref) else tuple(self._default_yref))
+                    for _, r, _ in batch]
+            rows += [rows[0]] * pad
+            yrefB = jnp.tile(jnp.asarray(rows, jnp.float32)[:, None, :],
+                             (1, self.solver.spec.N, 1))
+            yref_eB = jnp.asarray(rows, jnp.float32)[:, :self._yref_e_len]
+            new_states, outs = self._stepB(states, x0, p, lh,
+                                           yrefB, yref_eB)
+        else:
+            new_states, outs = self._stepB(states, x0, p, lh)
         for i, (vid, req, fut) in enumerate(batch):
             self._vehicles[vid].state = jax.tree.map(
                 lambda a, idx=i: a[idx], new_states)
@@ -328,8 +414,9 @@ class RTServer:
                 lane = self._lane_of.get(vid)
                 if lane is None:
                     if not self._lanes_free:
-                        self._reply(fut, req, STATUS_OVER_CAPACITY, 0.0,
-                                    np.zeros(protocol.NX, np.float32))
+                        self._reply(fut, req, STATUS_OVER_CAPACITY,
+                                    np.zeros(self.nu, np.float32),
+                                    np.zeros(self.nx, np.float32))
                         continue
                     lane = self._lanes_free.pop()
                     self._lane_of[vid] = lane
@@ -339,23 +426,35 @@ class RTServer:
                         jnp.asarray(req.x0, jnp.float32),
                         jnp.int32(lane))
                 self._x0_rows[lane] = req.x0
-                self._p_rows[lane] = req.p_obs
-                self._lh_rows[lane] = req.r_obs
+                self._p_rows[lane] = req.params
+                self._lh_rows[lane] = req.lh
+                self._yref_rows[lane] = (req.yref if len(req.yref)
+                                         else self._default_yref)
                 live.append((lane, req, fut))
             if not live:
                 return
             packed = jnp.asarray(np.concatenate(
-                [self._x0_rows, self._p_rows, self._lh_rows], axis=1))
+                [self._x0_rows, self._p_rows, self._lh_rows,
+                 self._yref_rows], axis=1))
 
         new_state, out = self._lane_tick(self._lane_state, packed)
         self._lane_state = new_state
         out = np.asarray(out)             # ONE fetch: (nu + nx + 1, L)
-        nu = out.shape[0] - protocol.NX - 1
+        nu = out.shape[0] - self.nx - 1
         u0 = out[:nu]
-        x1 = out[nu:nu + protocol.NX]
+        x1 = out[nu:nu + self.nx]
         status = out[-1].astype(np.int32)
         for lane, req, fut in live:
             self._reply(fut, req, status[lane], u0[:, lane], x1[:, lane])
+
+    def _req_yref(self, req):
+        """Per-request stage references -> solver args (None = builder's)."""
+        if not len(req.yref):
+            return None, None
+        yref = jnp.tile(jnp.asarray(req.yref, jnp.float32)[None, :],
+                        (self.solver.spec.N, 1))
+        yref_e = jnp.asarray(req.yref[:self._yref_e_len], jnp.float32)
+        return yref, yref_e
 
     def _release_vehicle(self, vid):
         self._vehicles.pop(vid, None)
@@ -368,14 +467,24 @@ class RTServer:
                     self._x0_rows[lane] = 0.0
                     self._p_rows[lane] = 100.0
                     self._lh_rows[lane] = 0.0
+                    self._yref_rows[lane] = self._default_yref
 
     @staticmethod
     def _reply(fut, req, status, u0, x1):
-        resp = protocol.Response(
-            seq=req.seq, status=int(status),
-            u0=float(np.asarray(u0).reshape(-1)[0]),
-            x1=tuple(np.asarray(x1, np.float32)))
-        fut.get_loop().call_soon_threadsafe(fut.set_result, resp)
+        """Resolve `fut` with the WIRE BYTES in the request's own protocol
+        version (v1 replies carry the scalar first input, the flagship
+        node's command convention; v2 replies carry the full u0 vector)."""
+        u0 = np.asarray(u0, np.float32).reshape(-1)
+        x1 = np.asarray(x1, np.float32).reshape(-1)
+        if req.version == 1:
+            buf = protocol.pack_response(protocol.Response(
+                seq=req.seq, status=int(status),
+                u0=float(u0[0]), x1=tuple(x1)))
+        else:
+            buf = protocol.pack_response2(protocol.Response2(
+                seq=req.seq, status=int(status),
+                u0=tuple(u0), x1=tuple(x1)))
+        fut.get_loop().call_soon_threadsafe(fut.set_result, buf)
 
 
 async def _amain(path: str, warm_all: bool = False, **kw):
@@ -396,6 +505,13 @@ def main(argv=None):
                              "only the named backend is initialized, and on "
                              "axon-tunneled images JAX_PLATFORMS=cpu is known "
                              "to deadlock device fetches from worker threads.")
+    parser.add_argument("--model", default="usv_guidance_ca1",
+                        choices=sorted(protocol.MODEL_IDS),
+                        help="OCP model this server instance solves (one "
+                             "server = one model, like one generated "
+                             "acados solver per reference node); "
+                             "non-flagship models are reachable through "
+                             "the v2 wire frames")
     parser.add_argument("-N", type=int, default=100)
     parser.add_argument("--tf", type=float, default=5.0)
     parser.add_argument("--ipm-iters", type=int, default=8)
@@ -424,7 +540,8 @@ def main(argv=None):
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
                        N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters,
                        engine=args.engine, riccati=args.riccati,
-                       max_batch=args.max_batch, rti_split=args.rti_split))
+                       max_batch=args.max_batch, rti_split=args.rti_split,
+                       model=args.model))
 
 
 if __name__ == "__main__":

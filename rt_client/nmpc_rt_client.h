@@ -69,6 +69,59 @@ int nmpc_rt_solve(nmpc_rt_client* c, const nmpc_rt_request* req,
 
 void nmpc_rt_close(nmpc_rt_client* c);
 
+/* ------------------------------------------------------------------------
+ * Protocol v2: variant-generic frames (mirrors rt/protocol.py v2).
+ *
+ * The v1 frames above are the flagship node's boundary. v2 serves ANY
+ * model in the zoo: the request header carries the client's dims, the
+ * server validates them against the model it was started with
+ * (`rt.server --model usv_pf` etc.) and answers
+ * NMPC_RT_STATUS_BAD_REQUEST on mismatch. The payload optionally carries
+ * a stage-constant yref (ny = 0 uses the server's builder references),
+ * matching how the reference nodes push yref every tick
+ * (src/nmpc_low_level.cpp:206-248).
+ */
+#define NMPC_RT_REQ2_MAGIC 0x4E4D5032u  /* "NMP2" */
+#define NMPC_RT_RESP2_MAGIC 0x4E4D5233u /* "NMR3" */
+#define NMPC_RT_STATUS_OVER_CAPACITY 3u
+#define NMPC_RT_STATUS_BAD_REQUEST 4u
+
+/* stable wire ids (mirrors protocol.MODEL_IDS) */
+enum nmpc_rt_model_id {
+  NMPC_RT_MODEL_GUIDANCE_CA1 = 1,
+  NMPC_RT_MODEL_GUIDANCE_CA = 2,
+  NMPC_RT_MODEL_GUIDANCE = 3,
+  NMPC_RT_MODEL_GUIDANCE2 = 4,
+  NMPC_RT_MODEL_GUIDANCE3 = 5,
+  NMPC_RT_MODEL_GUIDANCE4 = 6,
+  NMPC_RT_MODEL_GUIDANCE5 = 7,
+  NMPC_RT_MODEL_LOW_LEVEL = 8,
+  NMPC_RT_MODEL_PF = 9,
+  NMPC_RT_MODEL_PF_CA = 10,
+  NMPC_RT_MODEL_ACADOS = 11,
+  NMPC_RT_MODEL_POSITION_CONTROL = 12,
+  NMPC_RT_MODEL_RACE_CARS = 13,
+  NMPC_RT_MODEL_RACE_CARS_DEV = 14,
+};
+
+/* One blocking v2 solve tick for a model with runtime dims.
+ *   x0:    float[nx]          measured state
+ *   p:     float[np]  (np may be 0)   stage parameters
+ *   lh:    float[nh]  (nh may be 0)   runtime lower bounds
+ *   yref:  float[ny]  (ny may be 0 -> server's builder references)
+ *   u0:    float[nu_cap] out          stage-0 command vector
+ *   x1:    float[nx] out              stage-1 predicted state
+ *   status/out_nu: out
+ * Returns 0 on success (including BAD_REQUEST replies — check *status),
+ * -1 socket error, -2 timeout, -3 protocol error, -4 reply dims exceed
+ * the caller's buffers. */
+int nmpc_rt_solve2(nmpc_rt_client* c, uint16_t model_id, uint32_t seq,
+                   const float* x0, uint16_t nx, const float* p,
+                   uint16_t np, const float* lh, uint16_t nh,
+                   const float* yref, uint16_t ny, float* u0,
+                   uint16_t nu_cap, float* x1, uint32_t* status,
+                   uint16_t* out_nu);
+
 #ifdef __cplusplus
 }
 #endif

@@ -261,3 +261,142 @@ def test_server_rti_split(tmp_path):
         assert st_b in (0, 1)
         np.testing.assert_allclose(u_b, u_a, rtol=0, atol=1e-6)
         np.testing.assert_allclose(x_b, x_a, rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# protocol v2: variant-generic serving
+
+def test_protocol2_roundtrip():
+    req = protocol.Request2(seq=5, model_id=protocol.MODEL_IDS["usv_pf"],
+                            x0=tuple(float(i) for i in range(14)),
+                            params=(), lh=(),
+                            yref=tuple(float(i) for i in range(16)))
+    buf = protocol.pack_request2(req)
+    hdr = protocol.unpack_request2_header(buf[:protocol.REQ2_HDR_SIZE])
+    back = protocol.unpack_request2_payload(hdr,
+                                            buf[protocol.REQ2_HDR_SIZE:])
+    assert back.seq == 5 and back.model_id == req.model_id
+    assert back.x0[13] == 13.0 and back.yref[15] == 15.0
+    assert back.params == () and back.lh == ()
+
+    resp = protocol.Response2(seq=9, status=0, u0=(0.5, -0.5),
+                              x1=tuple(float(i) for i in range(14)))
+    buf = protocol.pack_response2(resp)
+    back = protocol.unpack_response2(buf[:protocol.RESP2_HDR_SIZE],
+                                     buf[protocol.RESP2_HDR_SIZE:])
+    assert back.u0 == (0.5, -0.5) and back.x1[13] == 13.0
+
+
+class _V2Client:
+    """Persistent-connection python client speaking protocol v2."""
+
+    def __init__(self, sock_path):
+        import socket as socketlib
+        self.s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        self.s.connect(str(sock_path))
+
+    def solve(self, model, seq, x0, params=(), lh=(), yref=()):
+        req = protocol.Request2(seq=seq,
+                                model_id=protocol.MODEL_IDS[model],
+                                x0=tuple(x0), params=tuple(params),
+                                lh=tuple(lh), yref=tuple(yref))
+        self.s.sendall(protocol.pack_request2(req))
+        hdr = self._read(protocol.RESP2_HDR_SIZE)
+        import struct
+        _, _, _, nu, nx = struct.unpack(protocol.RESP2_HDR_FMT, hdr)
+        payload = self._read(4 * (nu + nx))
+        return protocol.unpack_response2(hdr, payload)
+
+    def _read(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.s.recv(n - len(buf))
+            assert chunk, "server closed connection"
+            buf += chunk
+        return buf
+
+    def close(self):
+        self.s.close()
+
+
+def test_server_v2_pf_closed_loop(tmp_path):
+    """`rt.server --model usv_pf` driven through v2 frames with a wire
+    yref (head along the segment at u_d = 0.7): the full 14-state hull
+    converges toward the commanded surge over the wire."""
+    import numpy as np_
+
+    sock = tmp_path / "pf.sock"
+    with _ServerThread(sock, model="usv_pf", N=30, Tf=0.3, ipm_iters=8):
+        ak = math.pi / 2
+        ye0 = 4.0
+        x0 = [0.0, 0.0, 1.0, 0.001, 0.0, 0.0, ye0,
+              4.0, -5.0, ak, 0.0, 0.0, 0.0, 0.0]
+        yref = [0.0] * 16
+        yref[1], yref[2], yref[3] = math.sin(ak), math.cos(ak), 0.7
+        cli = _V2Client(sock)
+        try:
+            for k in range(60):
+                resp = cli.solve("usv_pf", k, x0, yref=yref)
+                assert resp.seq == k
+                assert resp.status in (0, 1)
+                assert len(resp.u0) == 2 and len(resp.x1) == 14
+                assert np_.all(np_.isfinite(resp.x1))
+                x0 = resp.x1
+        finally:
+            cli.close()
+        # surge climbed toward the wire-commanded 0.7 m/s
+        assert resp.x1[3] > 0.3, resp.x1
+
+
+def test_server_v2_rejects_mismatched_dims_and_v1(tmp_path):
+    """A pf server answers BAD_REQUEST to (a) v2 frames with wrong dims /
+    model id and (b) flagship v1 frames — and keeps serving afterwards."""
+    sock = tmp_path / "pf.sock"
+    with _ServerThread(sock, model="usv_pf", N=20, Tf=0.2, ipm_iters=6):
+        cli = _V2Client(sock)
+        try:
+            # wrong model id for these dims
+            resp = cli.solve("usv_guidance_ca1", 0, [0.0] * 8)
+            assert resp.status == protocol.STATUS_BAD_REQUEST
+            # right model, wrong nx
+            resp = cli.solve("usv_pf", 1, [0.0] * 8)
+            assert resp.status == protocol.STATUS_BAD_REQUEST
+            # recovery: a correct frame still solves
+            x0 = [0.0, 0.0, 1.0, 0.001, 0.0, 0.0, 0.0,
+                  4.0, -5.0, math.pi / 2, 0.0, 0.0, 0.0, 0.0]
+            resp = cli.solve("usv_pf", 2, x0)
+            assert resp.status in (0, 1)
+        finally:
+            cli.close()
+
+        # v1 frames are the flagship boundary: rejected on a pf server
+        ak = math.pi / 2
+        req = protocol.Request(
+            seq=7, x0=(0.7, 0.0, -4.0, -ak, -ak, 0.0, 0.0, 0.0),
+            p_obs=tuple([100.0] * 16), r_obs=tuple([0.0] * 8))
+        resp = _python_client_solve(sock, req)
+        assert resp.status == protocol.STATUS_BAD_REQUEST
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None or shutil.which("g++") is None,
+                    reason="native toolchain unavailable")
+def test_cpp_client_v2_low_level(tmp_path):
+    """Build and run the v2 C++ demo: the inner-loop thrust node served
+    generically (runtime dims + wire yref), closed loop to the commanded
+    psi_d = 1.0 rad / u_d = 0.8 m/s."""
+    build = tmp_path / "build"
+    subprocess.run(["cmake", "-S", str(REPO / "rt_client"), "-B", str(build),
+                    "-DCMAKE_BUILD_TYPE=Release"], check=True,
+                   capture_output=True)
+    subprocess.run(["cmake", "--build", str(build), "-j4"], check=True,
+                   capture_output=True)
+
+    sock = tmp_path / "ll.sock"
+    with _ServerThread(sock, model="usv_low_level", N=100, Tf=1.0,
+                       ipm_iters=8):
+        out = subprocess.run([str(build / "rt_demo2"), str(sock), "400"],
+                             capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "worst_latency_us" in out.stdout
+    final_psi = float(out.stdout.rsplit("final_psi", 1)[1].split()[0])
+    assert abs(final_psi - 1.0) < 0.1
