@@ -76,6 +76,21 @@ def fits_vmem(N, nx, nu, lane_block=LANE_BLOCK, budget_bytes=100 * 2**20):
     return _vmem_request(N, nx, nu, lane_block) < budget_bytes
 
 
+def pick_lane_block(N, nx, nu, L):
+    """Widest lane block that divides L and fits VMEM.
+
+    Measured on v5e at the flagship shape (B=512): 128/256/512-lane blocks
+    are throughput-IDENTICAL (4.67/4.82/4.66 ms/tick) — the kernel is
+    VPU-issue-bound (~640 GFLOP/s of its ~0.9 TFLOP/s ceiling), so wider
+    blocks trade grid-serialism for proportionally longer per-op issue,
+    a wash.  Kept for experiments; the default stays LANE_BLOCK=128
+    (smallest VMEM footprint: ~18 MB vs ~72 MB at 512)."""
+    for blk in (1024, 512, 256, 128):
+        if L % blk == 0 and fits_vmem(N, nx, nu, blk):
+            return blk
+    return LANE_BLOCK
+
+
 def _mv(M, v):
     """(i, k, L) x (k, L) -> (i, L) as broadcast FMA + sum.
 
@@ -180,22 +195,26 @@ def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
     jax.lax.fori_loop(0, N, forward, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lqr_solve_lanes_pallas(d, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "lane_block"))
+def lqr_solve_lanes_pallas(d, interpret: bool = False, lane_block=None):
     """Pallas-fused equivalent of `ops.riccati_lanes.lqr_solve_lanes`.
 
     `d` is an `ops.riccati_lanes.LaneLQR`; the lane count L must be a
     multiple of LANE_BLOCK (pad lanes to 128 upstream — the engines already
-    batch in powers of two).  Returns (dx (N+1, nx, L), du (N, nu, L)).
+    batch in powers of two).  `lane_block` widens the per-grid-step block
+    (measured a wash on v5e, see `pick_lane_block`); None keeps the
+    128-lane default.  Returns (dx (N+1, nx, L), du (N, nu, L)).
     """
     N, nx, nu, L = d.B.shape[0], d.A.shape[1], d.B.shape[2], d.B.shape[-1]
     assert L % LANE_BLOCK == 0, f"lane count {L} not a multiple of {LANE_BLOCK}"
+    blk_l = lane_block or LANE_BLOCK
+    assert L % blk_l == 0, f"lane count {L} not a multiple of block {blk_l}"
     dtype = d.A.dtype
-    grid = (L // LANE_BLOCK,)
+    grid = (L // blk_l,)
 
     def lane_spec(*lead):
-        # block = full stage/row dims, one 128-lane slice
-        blk = tuple(lead) + (LANE_BLOCK,)
+        # block = full stage/row dims, one lane-block slice
+        blk = tuple(lead) + (blk_l,)
         nlead = len(lead)
         return pl.BlockSpec(blk, lambda i: (0,) * nlead + (i,),
                             memory_space=pltpu.VMEM)
@@ -224,16 +243,18 @@ def lqr_solve_lanes_pallas(d, interpret: bool = False):
             jax.ShapeDtypeStruct((N, nu, L), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, nu, nx, LANE_BLOCK), dtype),   # K
-            pltpu.VMEM((N, nu, LANE_BLOCK), dtype),       # kff
-            pltpu.VMEM((nx, nx, LANE_BLOCK), dtype),      # P carry
-            pltpu.VMEM((nx, LANE_BLOCK), dtype),          # p carry
+            pltpu.VMEM((N, nu, nx, blk_l), dtype),   # K
+            pltpu.VMEM((N, nu, blk_l), dtype),       # kff
+            pltpu.VMEM((nx, nx, blk_l), dtype),      # P carry
+            pltpu.VMEM((nx, blk_l), dtype),          # p carry
         ],
         # the compiler's default scoped-VMEM limit is 16 MB; the flagship
-        # block is ~18 MB with double-buffered inputs, well within the v5e
-        # core's 128 MB VMEM, so raise the cap to what this block needs
+        # block is ~18 MB at 128 lanes (~72 MB at the default 512) with
+        # double-buffered inputs, well within the v5e core's 128 MB VMEM,
+        # so raise the cap to what this block needs
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(_vmem_request(N, nx, nu), 100 * 2**20)),
+            vmem_limit_bytes=min(_vmem_request(N, nx, nu, blk_l),
+                                 100 * 2**20)),
         interpret=interpret,
     )(d.A, d.B, d.c, d.Q, d.S, d.R, d.qx, d.qu, d.dx0)
     return dx, du

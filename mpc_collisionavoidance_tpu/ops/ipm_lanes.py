@@ -85,7 +85,17 @@ def ipm_solve_lanes(qp: LaneQP,
                     tol: float = 1e-7,
                     mu0: float = 1.0,
                     riccati: str = "lax",
-                    fused_static=None) -> LaneIPMSolution:
+                    fused_static=None,
+                    centering: str = "fixed",
+                    return_gap_trace: bool = False) -> LaneIPMSolution:
+    """`centering="adaptive"` replaces the fixed sigma with a per-lane
+    Mehrotra-style heuristic driven by the previous iteration's
+    fraction-to-boundary step: sigma_k = clip((1 - alpha_{k-1})^3,
+    sigma_min, 0.5).  Long steps (alpha near 1) mean the affine direction
+    is good, so the barrier is cut aggressively; short steps re-center.
+    This is the no-extra-solve half of Mehrotra's predictor-corrector
+    (the affine probe solve is skipped; alpha_{k-1} is its proxy), the
+    same adaptivity HPIPM gets from its predictor step."""
     N, nx, nu, L = qp.B.shape[0], qp.A.shape[1], qp.B.shape[2], qp.B.shape[-1]
     nbu, nbx = len(idxbu), len(idxbx)
     nHh = qp.Ch.shape[1]
@@ -171,7 +181,7 @@ def ipm_solve_lanes(qp: LaneQP,
     all_l = tuple(mu0 / t for t in all_t)
 
     def body(carry, _):
-        (dx, du, sl, su), t, lam = carry
+        (dx, du, sl, su), t, lam, sigma_l = carry
         (t_ulo, t_uhi, t_xlo, t_xhi, t_hlo, t_hhi,
          t_sl, t_su, t_bsl, t_bsu) = t
         (l_ulo, l_uhi, l_xlo, l_xhi, l_hlo, l_hhi,
@@ -190,7 +200,7 @@ def ipm_solve_lanes(qp: LaneQP,
             return jnp.sum(x, axis=tuple(range(x.ndim - 1)))
 
         gap = sum(lanes_sum(li * ti) for li, ti in zip(lam, t)) / n_total
-        mu = sigma * gap                                     # (L,)
+        mu = sigma_l * gap                                   # (L,)
         muv = mu[None, None, :]
 
         a_ulo, a_uhi = l_ulo / t_ulo, l_uhi / t_uhi
@@ -306,11 +316,19 @@ def ipm_solve_lanes(qp: LaneQP,
                       (su + av * Dsu) if nS else su)
         new_t = tuple(ti + av * Dti for ti, Dti in zip(t, Dt))
         new_l = tuple(li + av * Dli for li, Dli in zip(lam, Dlam))
-        return (new_primal, new_t, new_l), gap
+        if centering == "adaptive":
+            one_m = 1.0 - jnp.where(keep, 1.0, alpha)
+            new_sigma = jnp.clip(one_m * one_m * one_m, 1e-3, 0.5)
+        else:
+            new_sigma = sigma_l
+        return (new_primal, new_t, new_l, new_sigma), gap
 
-    carry = ((dx, du, sl, su), all_t, all_l)
+    # fixed centering keeps the historical constant; adaptive starts
+    # cautious (0.5) and lets the first step's alpha take over
+    sigma0 = jnp.full((L,), sigma if centering == "fixed" else 0.5, dtype)
+    carry = ((dx, du, sl, su), all_t, all_l, sigma0)
     carry, _gaps = jax.lax.scan(body, carry, None, length=iters)
-    (dx, du, sl, su), t, lam = carry
+    (dx, du, sl, su), t, lam, _ = carry
 
     def lanes_sum(x):
         return jnp.sum(x, axis=tuple(range(x.ndim - 1)))
@@ -333,4 +351,7 @@ def ipm_solve_lanes(qp: LaneQP,
     eff_tol = tol if dtype == jnp.float64 else max(tol, 5e-7)
     converged = (gap < eff_tol) & (eq_res < 1e3 * eff_tol)
     status = jnp.where(finite, jnp.where(converged, 0, 1), 2).astype(jnp.int32)
-    return LaneIPMSolution(dx=dx, du=du, gap=gap, eq_res=eq_res, status=status)
+    sol = LaneIPMSolution(dx=dx, du=du, gap=gap, eq_res=eq_res, status=status)
+    if return_gap_trace:
+        return sol, _gaps        # (iters, L) per-iteration duality gaps
+    return sol

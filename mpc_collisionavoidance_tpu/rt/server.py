@@ -20,6 +20,7 @@ Run standalone:  python -m mpc_collisionavoidance_tpu.rt.server /tmp/nmpc.sock
 import asyncio
 import concurrent.futures
 import dataclasses
+import logging
 import threading
 from typing import Dict, Optional
 
@@ -34,6 +35,8 @@ from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver, SolverState
 #: reply status when a lane-engine fleet is at capacity (all lanes taken);
 #: distinct from the solver's 0 ok / 1 not converged / 2 NaN codes
 STATUS_OVER_CAPACITY = 3
+
+_log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -187,7 +190,11 @@ class RTServer:
         st = self.solver.init_state(sc_x0)
         p = jnp.zeros(self.np_, jnp.float32)
         lh = jnp.zeros(self.nh, jnp.float32)
-        st, out = self._step1(st, jnp.asarray(sc_x0), p, lh)
+        # argument LIST must mirror _solve_batch exactly: jit's cache key
+        # includes the pytree structure, so omitting the trailing
+        # yref/yref_e Nones here would compile an executable the serving
+        # path never hits (measured: a ~3 s surprise compile on tick 0)
+        st, out = self._step1(st, jnp.asarray(sc_x0), p, lh, None, None)
         jax.block_until_ready(out.u0)
         if self.rti_split:
             qp = self._prepare1(st, p, lh)
@@ -220,8 +227,11 @@ class RTServer:
             stB = jax.vmap(lambda _: self.solver.init_state(sc_x0))(
                 jnp.arange(b))
             xB = jnp.zeros((b, self.nx), jnp.float32)
-            _, outB = self._stepB(stB, xB, jnp.zeros((b, self.np_)),
-                                  jnp.zeros((b, self.nh)))
+            # f32 explicitly: under x64 (tests) a bare jnp.zeros is f64 and
+            # would warm an executable the f32 serving path never uses
+            _, outB = self._stepB(stB, xB,
+                                  jnp.zeros((b, self.np_), jnp.float32),
+                                  jnp.zeros((b, self.nh), jnp.float32))
             jax.block_until_ready(outB.u0)
         # warm the dispatch path ON THE SOLVE THREAD — the first solve from
         # a worker thread pays extra overhead that must not hit tick 0
@@ -291,9 +301,13 @@ class RTServer:
                 await self._queue.put((vid, req, fut))
                 writer.write(await fut)       # fut resolves to wire bytes
                 await writer.drain()
-        except (asyncio.IncompleteReadError, ConnectionResetError,
-                ValueError):
+        except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
+        except ValueError as e:
+            # malformed frame / bad magic: log before closing so client
+            # protocol bugs are diagnosable server-side
+            _log.warning("rt client vid=%d protocol error: %s; "
+                         "closing connection", vid, e)
         finally:
             self._release_vehicle(vid)
             writer.close()
@@ -327,7 +341,7 @@ class RTServer:
         st = self.solver.init_state(zeros)
         _, out = self._step1(st, jnp.asarray(zeros),
                              jnp.zeros(self.np_, jnp.float32),
-                             jnp.zeros(self.nh, jnp.float32))
+                             jnp.zeros(self.nh, jnp.float32), None, None)
         jax.block_until_ready(out.u0)
 
     # ------------------------------------------------------------------
@@ -395,8 +409,12 @@ class RTServer:
         else:
             new_states, outs = self._stepB(states, x0, p, lh)
         for i, (vid, req, fut) in enumerate(batch):
-            self._vehicles[vid].state = jax.tree.map(
-                lambda a, idx=i: a[idx], new_states)
+            veh = self._vehicles[vid]
+            veh.state = jax.tree.map(lambda a, idx=i: a[idx], new_states)
+            # a batched tick advanced this vehicle's warm start, so any QP
+            # prepared before it (linearized at the pre-batch state) is
+            # stale — drop it; the next solo tick takes the full-step path
+            veh.prepared_qp = None
             self._reply(fut, req, outs.status[i], outs.u0[i], outs.x1[i])
 
     def _solve_batch_lane(self, batch):
@@ -512,8 +530,13 @@ def main(argv=None):
                              "acados solver per reference node); "
                              "non-flagship models are reachable through "
                              "the v2 wire frames")
-    parser.add_argument("-N", type=int, default=100)
-    parser.add_argument("--tf", type=float, default=5.0)
+    parser.add_argument("-N", type=int, default=None,
+                        help="horizon stages (default: the model builder's "
+                             "own reference value, e.g. usv_pf's Tf=1/N=100 "
+                             "rather than the flagship's Tf=5)")
+    parser.add_argument("--tf", type=float, default=None,
+                        help="horizon length in seconds (default: the "
+                             "model builder's reference value)")
     parser.add_argument("--ipm-iters", type=int, default=8)
     parser.add_argument("--warm-all", action="store_true",
                         help="pre-compile every power-of-two batch bucket "
@@ -537,8 +560,19 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_default_device",
                           jax.devices(args.platform)[0])
+    # unset -N/--tf resolve to the served model's own reference (Tf, N)
+    # (builders encode SURVEY.md 2.4 per variant), matching cli run —
+    # serving usv_pf at the flagship's Tf=5 would be silently wrong
+    N, Tf = args.N, args.tf
+    if N is None or Tf is None:
+        import inspect
+        sig = inspect.signature(builders.BUILDERS[args.model])
+        if N is None:
+            N = sig.parameters["N"].default
+        if Tf is None:
+            Tf = sig.parameters["Tf"].default
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
-                       N=args.N, Tf=args.tf, ipm_iters=args.ipm_iters,
+                       N=N, Tf=Tf, ipm_iters=args.ipm_iters,
                        engine=args.engine, riccati=args.riccati,
                        max_batch=args.max_batch, rti_split=args.rti_split,
                        model=args.model))

@@ -188,6 +188,11 @@ class RTISolver:
                 st2 = SolverState(
                     xbar=st.xbar + step_alpha * (st2.xbar - st.xbar),
                     ubar=st.ubar + step_alpha * (st2.ubar - st.ubar))
+                # keep the reported trajectory consistent with the damped
+                # iterate actually carried (the undamped trial step's u0/x1
+                # would disagree with `state` whenever not fully converged)
+                out = out._replace(u0=st2.ubar[0], x1=st2.xbar[1],
+                                   xtraj=st2.xbar, utraj=st2.ubar)
             return st2, out
 
         state, outs = jax.lax.scan(body, state, None, length=sqp_iters)

@@ -134,3 +134,25 @@ def test_rti_prepare_feedback_split_exact():
                                   np.asarray(out_j.xtraj))
     np.testing.assert_array_equal(np.asarray(st_s.xbar),
                                   np.asarray(st_j.xbar))
+
+
+def test_solve_converged_damped_output_matches_state(ca1_small):
+    """With step_alpha != 1 the returned SolverOutput must describe the
+    DAMPED iterate actually carried in the returned state, not the
+    undamped trial step of the last iteration (they differ whenever the
+    SQP has not fully converged)."""
+    spec = ca1_small
+    solver = RTISolver(spec, ipm_iters=15)
+    sc = scenarios.guidance_ca1_default()
+    st0 = solver.init_state(sc.x0, dtype=jnp.float64)
+    params = jnp.asarray(sc.params, jnp.float64)
+    lh = jnp.asarray(sc.lh, jnp.float64)
+
+    # few iterations on purpose: far from the fixed point, where the
+    # trial step and the damped iterate disagree materially
+    st, out = solver.solve_converged(st0, jnp.asarray(sc.x0), params, lh,
+                                     sqp_iters=3, step_alpha=0.5)
+    np.testing.assert_array_equal(np.asarray(out.xtraj), np.asarray(st.xbar))
+    np.testing.assert_array_equal(np.asarray(out.utraj), np.asarray(st.ubar))
+    np.testing.assert_array_equal(np.asarray(out.u0), np.asarray(st.ubar[0]))
+    np.testing.assert_array_equal(np.asarray(out.x1), np.asarray(st.xbar[1]))
