@@ -40,6 +40,10 @@ def main():
     # 10 keeps margin (measured, see docs/PERF.md)
     ipm_iters = int(os.environ.get("BENCH_IPM_ITERS", "10"))
     riccati = os.environ.get("BENCH_RICCATI", "pallas")
+    # fused Pallas linearization (rollout + VDE Jacobians + constraint
+    # linearization in VMEM, kernels/linearize_pallas.py): measured
+    # 4.05 ms -> 3.20 ms per B=512 flagship tick on v5e vs the lax path
+    linearize = os.environ.get("BENCH_LINEARIZE", "pallas")
 
     # BENCH_OCP selects the benched OCP: the flagship (default) or the
     # full 14-state hydrodynamic hull (usv_pf_ca: nu=2, HARD h rows)
@@ -53,7 +57,8 @@ def main():
         sc = scenarios.guidance_ca1_default()
         perturb_idx = 2                          # ye
     m = spec.model
-    solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati)
+    solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati,
+                           linearize=linearize)
 
     rng = np.random.default_rng(0)
     x0s = np.broadcast_to(sc.x0, (B, m.nx)).copy()
@@ -77,9 +82,10 @@ def main():
         if strict:
             raise
         import sys
-        print(f"bench: riccati={riccati!r} failed ({type(e).__name__}); "
-              "falling back to 'lax' (BENCH_STRICT=0)", file=sys.stderr)
-        riccati = "lax"
+        print(f"bench: riccati={riccati!r}/linearize={linearize!r} failed "
+              f"({type(e).__name__}); falling back to 'lax' "
+              "(BENCH_STRICT=0)", file=sys.stderr)
+        riccati = linearize = "lax"
         solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati="lax")
         states = solver.init_state(x0s)
         xL = to_lanes(jnp.asarray(x0s, jnp.float32))
@@ -117,6 +123,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 3),
         "backend": riccati,
+        "linearize": linearize,
         "converged_frac": round(converged_frac, 3),
     }
     if ocp != "usv_guidance_ca1":

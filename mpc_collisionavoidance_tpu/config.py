@@ -25,6 +25,8 @@ class SolverConfig:
     ipm_tol: float = 1e-7
     riccati: str = "lax"          # lane engine: "lax" | "pallas" | "pscan"
                                   # | "fused" (whole-IPM kernel)
+    linearize: str = "lax"        # lane engine: "lax" | "pallas" (fused
+                                  # rollout+VDE kernel, TPU only)
     qp_backend: str = "riccati"   # instance engine: "riccati" | "dense"
                                   # (full condensing, the qpOASES role)
     dtype: str = "float32"
@@ -35,10 +37,15 @@ class SolverConfig:
         if self.riccati not in ("lax", "pallas", "pallas_interpret",
                                 "pscan", "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{self.riccati}'")
+        if self.linearize not in ("lax", "pallas", "pallas_interpret"):
+            raise ValueError(
+                f"unknown linearize backend '{self.linearize}'")
         if self.qp_backend not in ("riccati", "dense"):
             raise ValueError(f"unknown qp_backend '{self.qp_backend}'")
         if self.engine == "instance" and self.riccati != "lax":
             raise ValueError("pallas riccati requires the lane engine")
+        if self.engine == "instance" and self.linearize != "lax":
+            raise ValueError("pallas linearize requires the lane engine")
         if self.engine == "lane" and self.qp_backend != "riccati":
             raise ValueError("the dense QP backend requires the "
                              "instance engine")
@@ -80,7 +87,8 @@ class FrameworkConfig:
             from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
             return LaneRTISolver(spec, ipm_iters=self.solver.ipm_iters,
                                  ipm_tol=self.solver.ipm_tol,
-                                 riccati=self.solver.riccati)
+                                 riccati=self.solver.riccati,
+                                 linearize=self.solver.linearize)
         from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
         return RTISolver(spec, ipm_iters=self.solver.ipm_iters,
                          ipm_tol=self.solver.ipm_tol,

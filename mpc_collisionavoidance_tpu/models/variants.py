@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mpc_collisionavoidance_tpu.models import hydro
 from mpc_collisionavoidance_tpu.models.base import Model
+from mpc_collisionavoidance_tpu.ops.kmath import atan2
 
 INF = 1e12  # stand-in for +inf bounds; kept finite for IPM masking logic
 
@@ -160,7 +161,7 @@ def _pf_dynamics(c):
         psi, _s, _c, u, v, r, _ye, _x1, _y1, ak, _nx, _ny, tport, tstbd = x
         tu, tr = hydro.thrust_map(tport, tstbd, c)
         du, dv, dr = hydro.uvr_dot(u, v, r, tu, tr)
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         chi = psi + beta
         xned_dot = u * jnp.cos(psi) - v * jnp.sin(psi)
         yned_dot = u * jnp.sin(psi) + v * jnp.cos(psi)
@@ -315,7 +316,7 @@ def usv_guidance3() -> Model:
 
     def f(x, u_ctl, p):
         _nx, _ny, psi, _s, _c, u, v, r, _ye, ak, rd = x
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         chi = psi + beta
         xned_dot = u * jnp.cos(psi) - v * jnp.sin(psi)
         yned_dot = u * jnp.sin(psi) + v * jnp.cos(psi)
@@ -351,7 +352,7 @@ def usv_guidance4() -> Model:
 
     def f(x, u_ctl, p):
         u, v, _ye, chie = x
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         psie = chie - beta
         return jnp.stack([
             jnp.zeros_like(u),
@@ -377,7 +378,7 @@ def usv_guidance5() -> Model:
 
     def f(x, u_ctl, p):
         u, v, _ye, chie, psied = x
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         psie = chie - beta
         return jnp.stack([
             jnp.zeros_like(u),
@@ -405,7 +406,7 @@ def usv_guidance_ca() -> Model:
 
     def f(x, u_ctl, p):
         u, v, _ye, chie, psied, _xn, _yn, psi, psieddot = x
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         psie = chie - beta
         return jnp.stack([
             jnp.zeros_like(u),
@@ -449,7 +450,7 @@ def usv_guidance_ca1() -> Model:
 
     def f(x, u_ctl, p):
         u, v, _ye, chie, psied, _xn, _yn, psi = x
-        beta = jnp.arctan2(v, u + 0.001)
+        beta = atan2(v, u + 0.001)  # kmath: exact in XLA, poly in kernels
         psie = chie - beta
         psie_rate = (psied - psie) / T1
         return jnp.stack([

@@ -61,7 +61,8 @@ class RTServer:
     def __init__(self, path: str, N: int = 100, Tf: float = 5.0,
                  ipm_iters: int = 8, batch_window_ms: float = 2.0,
                  max_batch: int = 128, engine: str = "vmap",
-                 riccati: str = "lax", rti_split: bool = False,
+                 riccati: str = "lax", linearize: str = "lax",
+                 rti_split: bool = False,
                  model: str = "usv_guidance_ca1"):
         """`engine` selects the fleet compute path:
 
@@ -124,7 +125,8 @@ class RTServer:
             from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
             L = max_batch
             self.lane_solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
-                                             riccati=riccati)
+                                             riccati=riccati,
+                                             linearize=linearize)
             self._lane_lock = threading.Lock()
             self._lanes_free = list(reversed(range(L)))
             self._lane_of: Dict[int, int] = {}
@@ -550,6 +552,10 @@ def main(argv=None):
     parser.add_argument("--riccati", default="lax",
                         choices=("lax", "pallas", "pscan", "fused"),
                         help="lane-engine Riccati backend")
+    parser.add_argument("--linearize", default="lax",
+                        choices=("lax", "pallas"),
+                        help="lane-engine linearization backend (pallas = "
+                             "fused rollout+VDE kernel, TPU only)")
     parser.add_argument("--max-batch", type=int, default=128)
     parser.add_argument("--rti-split", action="store_true",
                         help="acados-style RTI preparation/feedback split "
@@ -574,6 +580,7 @@ def main(argv=None):
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
                        N=N, Tf=Tf, ipm_iters=args.ipm_iters,
                        engine=args.engine, riccati=args.riccati,
+                       linearize=args.linearize,
                        max_batch=args.max_batch, rti_split=args.rti_split,
                        model=args.model))
 

@@ -58,11 +58,11 @@ class FleetMissionEngine:
     """B vehicles, each with its own waypoints and shared obstacle field."""
 
     def __init__(self, spec: OCPSpec, ipm_iters: int = 10,
-                 riccati: str = "lax"):
+                 riccati: str = "lax", linearize: str = "lax"):
         assert spec.model.name == "usv_guidance_ca1"
         self.spec = spec
         self.solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
-                                    riccati=riccati)
+                                    riccati=riccati, linearize=linearize)
         self._plant = integrators.make_discrete_dynamics(
             spec.model.f, spec.dt, num_steps=4)
 

@@ -51,19 +51,29 @@ def from_lanes(lane):
 
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
-                 ipm_tol: float = 1e-7, riccati: str = "lax"):
+                 ipm_tol: float = 1e-7, riccati: str = "lax",
+                 linearize: str = "lax"):
         """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
         kernel; lane count must be a multiple of 128), "pscan"
         (associative-scan parallel Riccati, O(log N) depth — see
         ops/riccati_pscan), or "fused" (the ENTIRE IPM as one Pallas
-        kernel, kernels/ipm_pallas.py — fastest on TPU)."""
+        kernel, kernels/ipm_pallas.py — fastest on TPU).
+
+        `linearize`: "lax" (XLA `jax.linearize` basis passes) or "pallas"
+        (kernels/linearize_pallas.py — the whole RK4 rollout + Jacobian
+        + constraint linearization fused into one VMEM-resident kernel
+        per lane block; requires the model's `f`/`h` to be Mosaic-
+        lowerable, which the whole USV zoo is via ops/kmath.atan2)."""
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
+        if linearize not in ("lax", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown linearize backend '{linearize}'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.riccati = riccati
+        self.linearize = linearize
         m = spec.model
         # static numpy cost blocks / slack weights: the fused IPM kernel
         # bakes these in as immediates (under jit the LaneQP fields are
@@ -150,26 +160,41 @@ class LaneRTISolver:
 
         # ---- dynamics linearization: one trace, nx+nu linear passes ----
         h_step = spec.dt / spec.integrator_steps
+        kernel_hbar = kernel_C = None
+        if self.linearize.startswith("pallas"):
+            # fused VMEM kernel: rollout + all tangent passes + constraint
+            # linearization in one Pallas program per lane block
+            from mpc_collisionavoidance_tpu.kernels.linearize_pallas import (
+                linearize_lanes_pallas)
+            xn_k, J_k, hbar_k, C_k = linearize_lanes_pallas(
+                xs, ubar, params, f=m.f, h=m.h, dt=spec.dt,
+                integrator_steps=spec.integrator_steps, nh=m.nh,
+                interpret=self.linearize == "pallas_interpret")
+            J = jnp.transpose(J_k, (2, 0, 1, 3))           # (N, nx, nxu, L)
+            x_next = xn_k
+            if m.nh:
+                kernel_hbar = hbar_k                       # (nh, N, L)
+                kernel_C = jnp.transpose(C_k, (2, 0, 1, 3))  # (N, nh, nx, L)
+        else:
+            def F(xu):
+                x, u = xu[:nx], xu[nx:]
+                for _ in range(spec.integrator_steps):
+                    k1 = m.f(x, u, params)
+                    k2 = m.f(x + 0.5 * h_step * k1, u, params)
+                    k3 = m.f(x + 0.5 * h_step * k2, u, params)
+                    k4 = m.f(x + h_step * k3, u, params)
+                    x = x + (h_step / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+                return x
 
-        def F(xu):
-            x, u = xu[:nx], xu[nx:]
-            for _ in range(spec.integrator_steps):
-                k1 = m.f(x, u, params)
-                k2 = m.f(x + 0.5 * h_step * k1, u, params)
-                k3 = m.f(x + 0.5 * h_step * k2, u, params)
-                k4 = m.f(x + h_step * k3, u, params)
-                x = x + (h_step / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-            return x
-
-        xu = jnp.concatenate([xs, ubar], axis=0)           # (nxu, N, L)
-        x_next, lin = jax.linearize(F, xu)
-        # all nx+nu basis tangents in ONE vmapped pass (the linearized
-        # rollout is traced once; the basis axis becomes a batch axis)
-        basis = jnp.broadcast_to(
-            jnp.eye(nx + nu, dtype=dtype)[:, :, None, None],
-            (nx + nu,) + xu.shape)
-        J = jax.vmap(lin)(basis)                           # (nxu, nx, N, L)
-        J = jnp.transpose(J, (2, 1, 0, 3))                 # (N, nx, nxu, L)
+            xu = jnp.concatenate([xs, ubar], axis=0)       # (nxu, N, L)
+            x_next, lin = jax.linearize(F, xu)
+            # all nx+nu basis tangents in ONE vmapped pass (the linearized
+            # rollout is traced once; the basis axis becomes a batch axis)
+            basis = jnp.broadcast_to(
+                jnp.eye(nx + nu, dtype=dtype)[:, :, None, None],
+                (nx + nu,) + xu.shape)
+            J = jax.vmap(lin)(basis)                       # (nxu, nx, N, L)
+            J = jnp.transpose(J, (2, 1, 0, 3))             # (N, nx, nxu, L)
         A, Bm = J[:, :, :nx, :], J[:, :, nx:, :]
         c = jnp.moveaxis(x_next - xbar[:, 1:, :], 0, 1)    # (N, nx, L)
 
@@ -237,16 +262,20 @@ class LaneRTISolver:
         # ---- nonlinear constraint linearization ----
         nh = m.nh
         if nh:
-            def H(xv):
-                return m.h(xv, params)
+            if kernel_C is not None:
+                C = kernel_C                               # (N, nh, nx, L)
+                hbar = jnp.moveaxis(kernel_hbar, 0, 1)     # (N, nh, L)
+            else:
+                def H(xv):
+                    return m.h(xv, params)
 
-            hbar_l, linh = jax.linearize(H, xs)            # (nh, N, L)
-            basis_x = jnp.broadcast_to(
-                jnp.eye(nx, dtype=dtype)[:, :, None, None],
-                (nx,) + xs.shape)
-            C = jax.vmap(linh)(basis_x)                    # (nx, nh, N, L)
-            C = jnp.transpose(C, (2, 1, 0, 3))             # (N, nh, nx, L)
-            hbar = jnp.moveaxis(hbar_l, 0, 1)              # (N, nh, L)
+                hbar_l, linh = jax.linearize(H, xs)        # (nh, N, L)
+                basis_x = jnp.broadcast_to(
+                    jnp.eye(nx, dtype=dtype)[:, :, None, None],
+                    (nx,) + xs.shape)
+                C = jax.vmap(linh)(basis_x)                # (nx, nh, N, L)
+                C = jnp.transpose(C, (2, 1, 0, 3))         # (N, nh, nx, L)
+                hbar = jnp.moveaxis(hbar_l, 0, 1)          # (N, nh, L)
             lh_full = (jnp.asarray(m.lh, dtype)[:, None] if lh is None
                        else jnp.asarray(lh, dtype))
             if lh_full.ndim == 1:
