@@ -31,11 +31,13 @@ class LaneQP(NamedTuple):
     B: jnp.ndarray       # (N, nx, nu, L)
     c: jnp.ndarray       # (N, nx, L)
     dx0: jnp.ndarray     # (nx, L)
-    # cost (static blocks, already dt-scaled; broadcast lazily)
-    Qc: jnp.ndarray      # (nx, nx)
+    # cost — either static blocks (2-D, already dt-scaled; broadcast
+    # lazily) or stage/lane-varying (4-D (N, ., ., L); produced by
+    # partial condensing, ops/condense_partial.py)
+    Qc: jnp.ndarray      # (nx, nx) | (N, nx, nx, L)
     QN: jnp.ndarray      # (nx, nx)
-    Sc: jnp.ndarray      # (nu, nx)
-    Rc: jnp.ndarray      # (nu, nu)
+    Sc: jnp.ndarray      # (nu, nx) | (N, nu, nx, L)
+    Rc: jnp.ndarray      # (nu, nu) | (N, nu, nu, L)
     qx: jnp.ndarray      # (N+1, nx, L)
     qu: jnp.ndarray      # (N, nu, L)
     # control box rows (gl form): du_sel - ub_lo >= 0 ; -du_sel - ub_hi >= 0
@@ -60,6 +62,10 @@ class LaneQP(NamedTuple):
     Zu: jnp.ndarray      # (nS, 1)
     lsh: jnp.ndarray     # (nS, 1)
     ush: jnp.ndarray     # (nS, 1)
+    # optional control coupling of the h/soft rows (partially condensed
+    # QPs: a row is C dx + D du + offset); None = state-only rows
+    Dh: jnp.ndarray = None   # (N, nHh, nu, L) | None
+    Ds: jnp.ndarray = None   # (N, nS, nu, L) | None
 
 
 class LaneIPMSolution(NamedTuple):
@@ -108,6 +114,11 @@ def ipm_solve_lanes(qp: LaneQP,
     idxbx = tuple(int(i) for i in idxbx)
 
     if riccati.startswith("fused"):
+        if qp.Dh is not None or qp.Ds is not None or qp.Qc.ndim == 4:
+            raise ValueError(
+                "the fused whole-IPM kernel does not support control-"
+                "coupled rows / stage-varying cost (partially condensed "
+                "QPs); use riccati='lax'/'pallas' with condense > 1")
         # whole-IPM Pallas kernel: QP + iterates resident in VMEM for all
         # `iters` iterations (kernels/ipm_pallas.py); this lax-level body
         # is bypassed entirely
@@ -146,16 +157,28 @@ def ipm_solve_lanes(qp: LaneQP,
     def dx_sel(dx_path):
         return dx_path[:, np.asarray(idxbx, dtype=np.int64), :] if nbx else dx_path[:, :0, :]
 
+    # control coupling of h/soft rows (partially condensed QPs)
+    has_Dh = qp.Dh is not None and nHh > 0
+    has_Ds = qp.Ds is not None and nS > 0
+
+    def h_val(dxp, du):
+        hv = ln.srows_mv(qp.Ch, dxp)
+        return hv + ln.srows_mv(qp.Dh, du) if has_Dh else hv
+
+    def s_val(dxp, du):
+        gv = ln.srows_mv(qp.Cs, dxp)
+        return gv + ln.srows_mv(qp.Ds, du) if has_Ds else gv
+
     def g_families(dx, du):
         dxp = dx[:-1]
         g_ulo = du_sel(du) - qp.ub_lo
         g_uhi = -du_sel(du) - qp.ub_hi
         g_xlo = qp.xmask * dx_sel(dxp) - qp.xb_lo
         g_xhi = -qp.xmask * dx_sel(dxp) - qp.xb_hi
-        hv = ln.srows_mv(qp.Ch, dxp) if nHh else jnp.zeros((N, 0, L), dtype)
+        hv = h_val(dxp, du) if nHh else jnp.zeros((N, 0, L), dtype)
         g_hlo = hv - qp.hh_lo
         g_hhi = -hv - qp.hh_hi
-        gv = (qp.hofs + ln.srows_mv(qp.Cs, dxp)) if nS \
+        gv = (qp.hofs + s_val(dxp, du)) if nS \
             else jnp.zeros((N, 0, L), dtype)
         return g_ulo, g_uhi, g_xlo, g_xhi, g_hlo, g_hhi, gv
 
@@ -222,7 +245,8 @@ def ipm_solve_lanes(qp: LaneQP,
         qtil_u = muv / t_su - a_su * r_su - a_su * k_u / beta_u
 
         # ---- modified Hessians ----
-        Qbar = jnp.broadcast_to(qp.Qc[None, :, :, None], (N, nx, nx, L))
+        Qbar = (qp.Qc if qp.Qc.ndim == 4
+                else jnp.broadcast_to(qp.Qc[None, :, :, None], (N, nx, nx, L)))
         if nbx:
             diag = jnp.zeros((N, nx, L), dtype)
             diag = diag.at[:, np.asarray(idxbx, dtype=np.int64), :].add(qp.xmask * (a_xlo + a_xhi))
@@ -235,37 +259,61 @@ def ipm_solve_lanes(qp: LaneQP,
             [Qbar, jnp.broadcast_to(qp.QN[None, :, :, None], (1, nx, nx, L))],
             axis=0)
 
-        Rbar = jnp.broadcast_to(qp.Rc[None, :, :, None], (N, nu, nu, L))
+        Rbar = (qp.Rc if qp.Rc.ndim == 4
+                else jnp.broadcast_to(qp.Rc[None, :, :, None], (N, nu, nu, L)))
         if nbu:
             diag_u = jnp.zeros((N, nu, L), dtype)
             diag_u = diag_u.at[:, np.asarray(idxbu, dtype=np.int64), :].add(a_ulo + a_uhi)
             Rbar = Rbar + diag_u[:, :, None, :] * jnp.eye(nu, dtype=dtype)[None, :, :, None]
-        Sbar = jnp.broadcast_to(qp.Sc[None, :, :, None], (N, nu, nx, L))
+        Sbar = (qp.Sc if qp.Sc.ndim == 4
+                else jnp.broadcast_to(qp.Sc[None, :, :, None], (N, nu, nx, L)))
+        if has_Dh:
+            w_h = a_hlo + a_hhi
+            Rbar = Rbar + ln.sgram_rows(qp.Dh, w_h)
+            Sbar = Sbar + ln.sgram_cross(qp.Dh, qp.Ch, w_h)
+        if has_Ds:
+            w_s = abar_l + abar_u
+            Rbar = Rbar + ln.sgram_rows(qp.Ds, w_s)
+            Sbar = Sbar + ln.sgram_cross(qp.Ds, qp.Cs, w_s)
 
         # ---- modified gradients ----
         dxp, dxN = dx[:-1], dx[-1]
-        qx_path = (qp.qx[:-1]
-                   + jnp.einsum("ij,kjl->kil", qp.Qc, dxp)
-                   + jnp.einsum("ui,kul->kil", qp.Sc, du))
+        if qp.Qc.ndim == 4:
+            qx_path = qp.qx[:-1] + ln.smv(qp.Qc, dxp) + ln.smtv(qp.Sc, du)
+        else:
+            qx_path = (qp.qx[:-1]
+                       + jnp.einsum("ij,kjl->kil", qp.Qc, dxp)
+                       + jnp.einsum("ui,kul->kil", qp.Sc, du))
         if nbx:
             vec = qp.xmask * ((muv / t_xlo - a_xlo * r_xlo)
                               - (muv / t_xhi - a_xhi * r_xhi))
             qx_path = qx_path.at[:, np.asarray(idxbx, dtype=np.int64), :].add(-vec)
+        v_hlo = muv / t_hlo - a_hlo * r_hlo
+        v_hhi = muv / t_hhi - a_hhi * r_hhi
         if nHh:
-            qx_path = qx_path - ln.srows_tv(qp.Ch, muv / t_hlo - a_hlo * r_hlo)
-            qx_path = qx_path + ln.srows_tv(qp.Ch, muv / t_hhi - a_hhi * r_hhi)
+            qx_path = qx_path - ln.srows_tv(qp.Ch, v_hlo)
+            qx_path = qx_path + ln.srows_tv(qp.Ch, v_hhi)
         if nS:
             qx_path = qx_path - ln.srows_tv(qp.Cs, qtil_l) \
                 + ln.srows_tv(qp.Cs, qtil_u)
         qx_N = qp.qx[-1] + jnp.einsum("ij,jl->il", qp.QN, dxN)
         qx_all = jnp.concatenate([qx_path, qx_N[None]], axis=0)
 
-        qu_bar = (qp.qu
-                  + jnp.einsum("ui,kil->kul", qp.Sc, dxp)
-                  + jnp.einsum("uv,kvl->kul", qp.Rc, du))
+        if qp.Rc.ndim == 4:
+            qu_bar = qp.qu + ln.smv(qp.Sc, dxp) + ln.smv(qp.Rc, du)
+        else:
+            qu_bar = (qp.qu
+                      + jnp.einsum("ui,kil->kul", qp.Sc, dxp)
+                      + jnp.einsum("uv,kvl->kul", qp.Rc, du))
         if nbu:
             vec_u = (muv / t_ulo - a_ulo * r_ulo) - (muv / t_uhi - a_uhi * r_uhi)
             qu_bar = qu_bar.at[:, np.asarray(idxbu, dtype=np.int64), :].add(-vec_u)
+        if has_Dh:
+            qu_bar = qu_bar - ln.srows_tv(qp.Dh, v_hlo) \
+                + ln.srows_tv(qp.Dh, v_hhi)
+        if has_Ds:
+            qu_bar = qu_bar - ln.srows_tv(qp.Ds, qtil_l) \
+                + ln.srows_tv(qp.Ds, qtil_u)
 
         # ---- Newton step via lane Riccati ----
         cbar = ln.smv(qp.A, dxp) + ln.smv(qp.B, du) + qp.c - dx[1:]
@@ -275,16 +323,17 @@ def ipm_solve_lanes(qp: LaneQP,
         Ddxp = Ddx[:-1]
 
         # ---- recover slack/dual steps ----
-        Dgv = ln.srows_mv(qp.Cs, Ddxp) if nS else gv
+        Dgv = s_val(Ddxp, Ddu) if nS else gv
         Dsl = (k_l - a_sl * Dgv) / beta_l if nS else sl
         Dsu = (k_u + a_su * Dgv) / beta_u if nS else su
+        Dhv = h_val(Ddxp, Ddu) if nHh else r_hlo * 0
         Dt = (
             du_sel(Ddu) + r_ulo,
             -du_sel(Ddu) + r_uhi,
             qp.xmask * dx_sel(Ddxp) + r_xlo,
             -qp.xmask * dx_sel(Ddxp) + r_xhi,
-            (ln.srows_mv(qp.Ch, Ddxp) if nHh else r_hlo * 0) + r_hlo,
-            -(ln.srows_mv(qp.Ch, Ddxp) if nHh else r_hhi * 0) + r_hhi,
+            Dhv + r_hlo,
+            -Dhv + r_hhi,
             Dgv + Dsl + r_sl,
             -Dgv + Dsu + r_su,
             Dsl + r_bsl,

@@ -155,6 +155,20 @@ def sgram_rows(C, w):
     return acc
 
 
+def sgram_cross(D, C, w):
+    """sum_r w[.,r] D[.,r] C[.,r]^T stagewise: (N,r,m,L),(N,r,n,L),(N,r,L)
+    -> (N,m,n,L).  The cross term of constraint-row grams when rows couple
+    two variable blocks (e.g. partially condensed rows C dx + D du)."""
+    N, r, m, L = D.shape
+    n = C.shape[2]
+    acc = jnp.zeros((N, m, n, L), D.dtype)
+    for i in range(r):
+        di = D[:, i]                                  # (N, m, L)
+        ci = C[:, i]                                  # (N, n, L)
+        acc = acc + (w[:, i][:, None, :] * di)[:, :, None, :] * ci[:, None, :, :]
+    return acc
+
+
 def ge_solve_mat(M, B):
     """Solve M X = B for general (non-symmetric) tiny M: (n, n, L) x
     (n, k, L) -> (n, k, L).

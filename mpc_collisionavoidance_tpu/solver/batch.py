@@ -52,7 +52,7 @@ def from_lanes(lane):
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax",
-                 linearize: str = "lax"):
+                 linearize: str = "lax", condense: int = 1):
         """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
         kernel; lane count must be a multiple of 128), "pscan"
         (associative-scan parallel Riccati, O(log N) depth — see
@@ -63,17 +63,32 @@ class LaneRTISolver:
         (kernels/linearize_pallas.py — the whole RK4 rollout + Jacobian
         + constraint linearization fused into one VMEM-resident kernel
         per lane block; requires the model's `f`/`h` to be Mosaic-
-        lowerable, which the whole USV zoo is via ops/kmath.atan2)."""
+        lowerable, which the whole USV zoo is via ops/kmath.atan2).
+
+        `condense`: partial-condensing group size M (HPIPM's knob, the
+        reference's PARTIAL_CONDENSING_HPIPM role): groups of M shooting
+        intervals are condensed before the IPM so the sequential Riccati
+        chain shrinks from 2N to 2N/M steps (ops/condense_partial.py).
+        1 = no condensing.  Must divide N; incompatible with
+        riccati="fused"."""
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
         if linearize not in ("lax", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown linearize backend '{linearize}'")
+        if condense < 1 or spec.N % condense != 0:
+            raise ValueError(
+                f"condense group size {condense} must divide N={spec.N}")
+        if condense > 1 and riccati.startswith("fused"):
+            raise ValueError("partial condensing is incompatible with the "
+                             "fused whole-IPM kernel (static-cost baking); "
+                             "use riccati='lax' or 'pallas'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.riccati = riccati
         self.linearize = linearize
+        self.condense = condense
         m = spec.model
         # static numpy cost blocks / slack weights: the fused IPM kernel
         # bakes these in as immediates (under jit the LaneQP fields are
@@ -356,10 +371,21 @@ class LaneRTISolver:
         params = jnp.asarray(params, dtype)
         qp = self._build_qp(state, x0, params, lh, yref=yref,
                             yref_e=yref_e)
-        sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
-                              iters=self.ipm_iters, tol=self.ipm_tol,
-                              riccati=self.riccati,
-                              fused_static=self._fused_static)
+        if self.condense > 1:
+            from mpc_collisionavoidance_tpu.ops.condense_partial import (
+                condense_lane_qp, expand_solution)
+            qp_c, idxbu_c, aux = condense_lane_qp(
+                qp, self.condense, self.idxbu, self.idxbx)
+            sol = ipm_solve_lanes(qp_c, idxbu_c, (),
+                                  iters=self.ipm_iters, tol=self.ipm_tol,
+                                  riccati=self.riccati)
+            dx_f, du_f = expand_solution(aux, sol.dx, sol.du)
+            sol = sol._replace(dx=dx_f, du=du_f)
+        else:
+            sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
+                                  iters=self.ipm_iters, tol=self.ipm_tol,
+                                  riccati=self.riccati,
+                                  fused_static=self._fused_static)
         xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
         ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
         new_state = LaneState(xbar=xbar, ubar=ubar)
