@@ -44,6 +44,10 @@ def main():
     # linearization in VMEM, kernels/linearize_pallas.py): measured
     # 4.05 ms -> 3.20 ms per B=512 flagship tick on v5e vs the lax path
     linearize = os.environ.get("BENCH_LINEARIZE", "pallas")
+    # partial-condensing group size (HPIPM's knob, ops/condense_partial.py):
+    # 1 = full-resolution QP (measured fastest with the pallas Riccati
+    # kernel, see benchmarks/bench_condense.py + docs/PERF.md)
+    condense = int(os.environ.get("BENCH_CONDENSE", "1"))
 
     # BENCH_OCP selects the benched OCP: the flagship (default) or the
     # full 14-state hydrodynamic hull (usv_pf_ca: nu=2, HARD h rows)
@@ -58,7 +62,7 @@ def main():
         perturb_idx = 2                          # ye
     m = spec.model
     solver = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati,
-                           linearize=linearize)
+                           linearize=linearize, condense=condense)
 
     rng = np.random.default_rng(0)
     x0s = np.broadcast_to(sc.x0, (B, m.nx)).copy()
@@ -128,6 +132,8 @@ def main():
     }
     if ocp != "usv_guidance_ca1":
         line["ocp"] = ocp
+    if condense != 1:
+        line["condense"] = condense
     print(json.dumps(line))
 
 
