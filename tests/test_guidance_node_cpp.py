@@ -1,0 +1,236 @@
+"""Native (C++) flagship guidance node vs the JAX implementation.
+
+The native node (rt_client/nmpc_guidance_node.{h,cpp}) re-builds the
+reference nmpc_guidance_ca1 node's around-the-solver logic (reference
+catkin_ws/src/nmpc_ca/src/nmpc_guidance_ca1.cpp:252-600) in C++ for the
+vehicle side of a deployment.  Two tiers:
+
+1. ctypes parity: the pure sub-steps (obstacle intake, waypoint manager +
+   crab-angle packing, command extraction) must match the JAX versions in
+   guidance/{obstacles,waypoints,controller}.py to float32 tolerance over
+   randomized trajectories — both claim to implement the same reference
+   lines, so they must agree with each other.
+2. end-to-end: full two-leg mission with obstacle avoidance through the
+   live RT server (honest plant, native fake LiDAR), exit code asserted.
+"""
+
+import asyncio
+import ctypes
+import shutil
+import subprocess
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from mpc_collisionavoidance_tpu.guidance import obstacles as obs  # noqa: E402
+from mpc_collisionavoidance_tpu.guidance.controller import (  # noqa: E402
+    GuidanceController)
+from mpc_collisionavoidance_tpu.guidance.waypoints import (  # noqa: E402
+    MissionState, mission_init, waypoint_manager)
+from mpc_collisionavoidance_tpu.utils.angles import wrap_once  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("cmake") is None or shutil.which("g++") is None,
+    reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def build_dir(tmp_path_factory):
+    build = tmp_path_factory.mktemp("gn_build")
+    subprocess.run(["cmake", "-S", str(REPO / "rt_client"), "-B", str(build),
+                    "-DCMAKE_BUILD_TYPE=Release"], check=True,
+                   capture_output=True)
+    subprocess.run(["cmake", "--build", str(build), "-j4"], check=True,
+                   capture_output=True)
+    return build
+
+
+class _Meas(ctypes.Structure):
+    _fields_ = [("u", ctypes.c_float), ("v", ctypes.c_float),
+                ("nedx", ctypes.c_float), ("nedy", ctypes.c_float),
+                ("psi", ctypes.c_float)]
+
+
+class _Cmds(ctypes.Structure):
+    _fields_ = [("psi_d", ctypes.c_float), ("r_d", ctypes.c_float),
+                ("u_d", ctypes.c_float), ("ye", ctypes.c_float),
+                ("target", ctypes.c_float * 2),
+                ("collision", ctypes.c_int),
+                ("solver_status", ctypes.c_uint32),
+                ("active", ctypes.c_int)]
+
+
+@pytest.fixture(scope="module")
+def lib(build_dir):
+    L = ctypes.CDLL(str(build_dir / "libnmpc_guidance_node.so"))
+    L.gn_create.restype = ctypes.c_void_p
+    L.gn_create.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                            ctypes.c_float]
+    L.gn_destroy.argtypes = [ctypes.c_void_p]
+    L.gn_obstacles.restype = ctypes.c_int
+    L.gn_obstacles.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                               ctypes.POINTER(_Meas)]
+    L.gn_pack.restype = ctypes.c_int
+    L.gn_pack.argtypes = [ctypes.c_void_p, ctypes.POINTER(_Meas),
+                          ctypes.c_float * 8, ctypes.c_float * 16,
+                          ctypes.c_float * 8, ctypes.POINTER(_Cmds)]
+    L.gn_extract.argtypes = [ctypes.c_void_p, ctypes.c_float * 8,
+                             ctypes.c_float, ctypes.POINTER(_Cmds)]
+    return L
+
+
+def test_native_logic_parity(lib):
+    """Drive the native node and the JAX guidance stack through the same
+    scripted 400-tick trajectory (two-leg mission, moving vehicle, random
+    obstacle fields, synthetic solver replies) and compare every output:
+    packed x0, obstacle slots, frame telemetry and extracted commands."""
+    rng = np.random.default_rng(42)
+    wps = np.array([[4.0, -5.0], [4.0, 25.0], [20.0, 25.0]], np.float32)
+    psi0 = 0.3
+
+    wp_flat = wps.reshape(-1).astype(np.float32)
+    node = lib.gn_create(
+        wp_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(wps), psi0)
+    assert node
+
+    mission = mission_init(wps, len(wps), jnp.float32(psi0))
+
+    # scripted vehicle track: along the path with noise, fast enough to
+    # exercise both segment switches and the final capture
+    T = 400
+    s = np.linspace(0.0, 52.0, T)
+    path = np.where(
+        (s < 30.0)[:, None],
+        np.stack([4.0 + 0.8 * np.sin(s / 3.0), -5.0 + s], axis=1),
+        np.stack([4.0 + (s - 30.0), 25.0 + 0.2 * np.cos(s)], axis=1))
+    psis = (psi0 + 0.8 * np.sin(s / 5.0)).astype(np.float32)
+
+    for t in range(T):
+        u = float(rng.uniform(0.0, 1.2)) if t % 17 else 0.0  # hit the guard
+        v = float(rng.uniform(-0.3, 0.3))
+        nedx, nedy, psi = float(path[t, 0]), float(path[t, 1]), float(psis[t])
+        meas = _Meas(u, v, nedx, nedy, psi)
+
+        # --- obstacle intake on a random body-frame field (n > 8) ---
+        n_obs = int(rng.integers(0, 14))
+        body = rng.uniform(-20, 20, size=(max(n_obs, 1), 2)).astype(np.float32)
+        radii = rng.uniform(0.2, 2.0, size=max(n_obs, 1)).astype(np.float32)
+        xyr = np.concatenate([body, radii[:, None]], axis=1)[:n_obs]
+        flat = np.ascontiguousarray(xyr.reshape(-1), np.float32)
+        lib.gn_obstacles(node, flat.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)), n_obs, ctypes.byref(meas))
+
+        if n_obs:
+            # fixed-capacity masked field (the JAX intake's calling
+            # convention; top_k needs >= 8 candidate lanes)
+            CAP = 16
+            body_pad = np.zeros((CAP, 2), np.float32)
+            radii_pad = np.zeros(CAP, np.float32)
+            body_pad[:n_obs] = body[:n_obs]
+            radii_pad[:n_obs] = radii[:n_obs]
+            valid = np.arange(CAP) < n_obs
+            slots = obs.intake(jnp.asarray(body_pad), jnp.asarray(radii_pad),
+                               jnp.asarray(valid), nedx, nedy, psi)
+            p_py = np.asarray(slots.p_obs)
+            r_py = np.asarray(slots.r_obs)
+        else:
+            p_py = np.full(16, obs.SENTINEL_POS, np.float32)
+            r_py = np.zeros(8, np.float32)
+
+        # --- waypoint tick + packing ---
+        x0_c = (ctypes.c_float * 8)()
+        p_c = (ctypes.c_float * 16)()
+        r_c = (ctypes.c_float * 8)()
+        cmd = _Cmds()
+        lib.gn_pack(node, ctypes.byref(meas), x0_c, p_c, r_c,
+                    ctypes.byref(cmd))
+
+        mission, frame = waypoint_manager(mission, wps, len(wps), nedx, nedy)
+        from mpc_collisionavoidance_tpu.guidance.controller import (
+            Measurements)
+        x0_py = np.asarray(GuidanceController._pack_x0(
+            Measurements(jnp.float32(u), jnp.float32(v), jnp.float32(nedx),
+                         jnp.float32(nedy), jnp.float32(psi)),
+            mission.past_psied, frame.ye, frame.ak))
+
+        np.testing.assert_allclose(np.array(x0_c), x0_py, atol=2e-5,
+                                   err_msg=f"x0 mismatch at tick {t}")
+        np.testing.assert_allclose(np.array(p_c), p_py, atol=2e-4,
+                                   err_msg=f"p_obs mismatch at tick {t}")
+        np.testing.assert_allclose(np.array(r_c), r_py, atol=2e-5,
+                                   err_msg=f"r_obs mismatch at tick {t}")
+        assert abs(float(cmd.ye) - float(frame.ye)) < 2e-4, t
+        assert cmd.active == int(bool(frame.u_d > 0)), t
+        assert abs(float(cmd.u_d) - float(frame.u_d)) < 1e-6, t
+        np.testing.assert_allclose(np.array(cmd.target),
+                                   np.asarray(frame.target), atol=1e-6)
+
+        # --- synthetic solver reply -> command extraction ---
+        x1 = rng.uniform(-1, 1, size=8).astype(np.float32)
+        u0 = float(rng.uniform(-0.5, 0.5))
+        x1_c = (ctypes.c_float * 8)(*x1)
+        lib.gn_extract(node, x1_c, u0, ctypes.byref(cmd))
+        active = bool(np.asarray(mission.active))
+        if active:
+            psi_d_py = float(wrap_once(jnp.float32(x1[4]) + frame.ak))
+            assert abs(float(cmd.psi_d) - psi_d_py) < 2e-5, t
+            assert abs(float(cmd.r_d) - u0) < 1e-6, t
+            # carried command memory (controller.tick :122-124)
+            mission = mission._replace(past_psied=jnp.float32(x1[4]))
+
+    lib.gn_destroy(node)
+    # the scripted track must have exercised both transitions
+    assert not bool(np.asarray(mission.active)), "mission never finished"
+
+
+class _ServerThread:
+    def __init__(self, sock_path, **kw):
+        from mpc_collisionavoidance_tpu.rt.server import RTServer
+        self.server = RTServer(str(sock_path), **kw)
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        asyncio.set_event_loop(self._loop)
+        self._loop.run_until_complete(self.server.start())
+        self._loop.run_forever()
+
+    def __enter__(self):
+        self.server.warmup()
+        self._thread.start()
+        deadline = time.time() + 10
+        while not Path(self.server.path).exists():
+            assert time.time() < deadline, "server socket never appeared"
+            time.sleep(0.05)
+        return self
+
+    def __exit__(self, *exc):
+        async def _stop():
+            await self.server.stop()
+        asyncio.run_coroutine_threadsafe(_stop(), self._loop).result(5)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(5)
+
+
+def test_native_node_full_mission(build_dir, tmp_path):
+    """The native node completes the two-leg avoidance mission against the
+    live serving engine: segment switch, all buoys cleared > 1.3 m, final
+    waypoint captured, <= 2% non-converged ticks."""
+    sock = tmp_path / "nmpc.sock"
+    with _ServerThread(sock, N=100, Tf=5.0, ipm_iters=14):
+        out = subprocess.run(
+            [str(build_dir / "guidance_node_demo"), str(sock), "2500"],
+            capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    tail = out.stdout.strip().splitlines()[-1]
+    assert "switched 1" in tail and "done 1" in tail, tail
