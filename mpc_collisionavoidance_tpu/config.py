@@ -29,6 +29,10 @@ class SolverConfig:
                                   # rollout+VDE kernel, TPU only)
     qp_backend: str = "riccati"   # instance engine: "riccati" | "dense"
                                   # (full condensing, the qpOASES role)
+    centering: str = "fixed"      # lane engine: "fixed" | "adaptive"
+                                  # (per-lane Mehrotra-style sigma —
+                                  # reaches the f32 gap floor in ~8 IPM
+                                  # iters instead of 10, docs/PERF.md)
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -42,6 +46,11 @@ class SolverConfig:
                 f"unknown linearize backend '{self.linearize}'")
         if self.qp_backend not in ("riccati", "dense"):
             raise ValueError(f"unknown qp_backend '{self.qp_backend}'")
+        if self.centering not in ("fixed", "adaptive"):
+            raise ValueError(f"unknown centering '{self.centering}'")
+        if self.centering == "adaptive" and self.riccati.startswith("fused"):
+            raise ValueError("adaptive centering is not available in the "
+                             "fused whole-IPM kernel")
         if self.engine == "instance" and self.riccati != "lax":
             raise ValueError("pallas riccati requires the lane engine")
         if self.engine == "instance" and self.linearize != "lax":
@@ -88,7 +97,8 @@ class FrameworkConfig:
             return LaneRTISolver(spec, ipm_iters=self.solver.ipm_iters,
                                  ipm_tol=self.solver.ipm_tol,
                                  riccati=self.solver.riccati,
-                                 linearize=self.solver.linearize)
+                                 linearize=self.solver.linearize,
+                                 centering=self.solver.centering)
         from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
         return RTISolver(spec, ipm_iters=self.solver.ipm_iters,
                          ipm_tol=self.solver.ipm_tol,

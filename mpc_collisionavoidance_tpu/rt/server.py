@@ -62,7 +62,7 @@ class RTServer:
                  ipm_iters: int = 8, batch_window_ms: float = 2.0,
                  max_batch: int = 128, engine: str = "vmap",
                  riccati: str = "lax", linearize: str = "lax",
-                 rti_split: bool = False,
+                 centering: str = "fixed", rti_split: bool = False,
                  model: str = "usv_guidance_ca1"):
         """`engine` selects the fleet compute path:
 
@@ -126,7 +126,8 @@ class RTServer:
             L = max_batch
             self.lane_solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
                                              riccati=riccati,
-                                             linearize=linearize)
+                                             linearize=linearize,
+                                             centering=centering)
             self._lane_lock = threading.Lock()
             self._lanes_free = list(reversed(range(L)))
             self._lane_of: Dict[int, int] = {}
@@ -556,6 +557,11 @@ def main(argv=None):
                         choices=("lax", "pallas"),
                         help="lane-engine linearization backend (pallas = "
                              "fused rollout+VDE kernel, TPU only)")
+    parser.add_argument("--centering", default="fixed",
+                        choices=("fixed", "adaptive"),
+                        help="lane-engine IPM centering schedule (adaptive "
+                             "= per-lane Mehrotra-style sigma; reaches the "
+                             "f32 gap floor in ~8 iters, docs/PERF.md)")
     parser.add_argument("--max-batch", type=int, default=128)
     parser.add_argument("--rti-split", action="store_true",
                         help="acados-style RTI preparation/feedback split "
@@ -580,7 +586,7 @@ def main(argv=None):
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
                        N=N, Tf=Tf, ipm_iters=args.ipm_iters,
                        engine=args.engine, riccati=args.riccati,
-                       linearize=args.linearize,
+                       linearize=args.linearize, centering=args.centering,
                        max_batch=args.max_batch, rti_split=args.rti_split,
                        model=args.model))
 

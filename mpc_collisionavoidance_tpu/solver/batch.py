@@ -52,7 +52,8 @@ def from_lanes(lane):
 class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax",
-                 linearize: str = "lax", condense: int = 1):
+                 linearize: str = "lax", condense: int = 1,
+                 centering: str = "fixed"):
         """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
         kernel; lane count must be a multiple of 128), "pscan"
         (associative-scan parallel Riccati, O(log N) depth — see
@@ -70,7 +71,16 @@ class LaneRTISolver:
         intervals are condensed before the IPM so the sequential Riccati
         chain shrinks from 2N to 2N/M steps (ops/condense_partial.py).
         1 = no condensing.  Must divide N; incompatible with
-        riccati="fused"."""
+        riccati="fused".
+
+        `centering`: "fixed" (constant sigma=0.1 barrier reduction) or
+        "adaptive" (per-lane Mehrotra-style sigma from the previous
+        fraction-to-boundary step, ops/ipm_lanes.py).  Measured on v5e at
+        the flagship shape: adaptive reaches the float32 gap floor in 8
+        iterations instead of 10 (178.5k vs 145.5k solves/s at B=512,
+        converged_frac 1.0 both) — see docs/PERF.md.  Applies to the
+        lax/pallas/pscan Riccati paths; the fused whole-IPM kernel bakes
+        fixed sigma."""
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
@@ -83,12 +93,19 @@ class LaneRTISolver:
             raise ValueError("partial condensing is incompatible with the "
                              "fused whole-IPM kernel (static-cost baking); "
                              "use riccati='lax' or 'pallas'")
+        if centering not in ("fixed", "adaptive"):
+            raise ValueError(f"unknown centering '{centering}'")
+        if centering == "adaptive" and riccati.startswith("fused"):
+            raise ValueError("adaptive centering is not available in the "
+                             "fused whole-IPM kernel (fixed-sigma baking); "
+                             "use riccati='lax' or 'pallas'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.riccati = riccati
         self.linearize = linearize
         self.condense = condense
+        self.centering = centering
         m = spec.model
         # static numpy cost blocks / slack weights: the fused IPM kernel
         # bakes these in as immediates (under jit the LaneQP fields are
@@ -378,14 +395,16 @@ class LaneRTISolver:
                 qp, self.condense, self.idxbu, self.idxbx)
             sol = ipm_solve_lanes(qp_c, idxbu_c, (),
                                   iters=self.ipm_iters, tol=self.ipm_tol,
-                                  riccati=self.riccati)
+                                  riccati=self.riccati,
+                                  centering=self.centering)
             dx_f, du_f = expand_solution(aux, sol.dx, sol.du)
             sol = sol._replace(dx=dx_f, du=du_f)
         else:
             sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
                                   iters=self.ipm_iters, tol=self.ipm_tol,
                                   riccati=self.riccati,
-                                  fused_static=self._fused_static)
+                                  fused_static=self._fused_static,
+                                  centering=self.centering)
         xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
         ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
         new_state = LaneState(xbar=xbar, ubar=ubar)
