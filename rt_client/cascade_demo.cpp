@@ -17,8 +17,9 @@
  * this native version proves the deployment topology end-to-end.
  *
  * Usage: cascade_demo <guidance_socket> <lowlevel_socket> [max_gticks]
- * Exit 0 iff every solve transport succeeded, <= 2% of guidance ticks
- * reported a non-converged QP, all four buoys cleared by > 1.1 m, the
+ * Exit 0 iff every solve transport succeeded, <= 2% of ALL solves
+ * (guidance + low-level, 6 per guidance tick) reported a non-converged
+ * QP, all four buoys cleared by > 1.1 m at every 100 Hz substep, the
  * hull reached cruise speed, every thrust command stayed inside the
  * model's box bounds, and the vehicle progressed past the buoy line.
  */
@@ -175,14 +176,18 @@ int main(int argc, char** argv) {
           lcmd.t_stbd > 35.0f + 1e-4f || lcmd.t_stbd < -30.0f - 1e-4f)
         thrust_violation++;
       hull_rk4(&h, lcmd.t_port, lcmd.t_stbd, ll_dt);
+
+      /* clearance / speed sampled at every 100 Hz substep so a closest
+       * approach between guidance ticks cannot go unmeasured */
+      if (h.u > max_u) max_u = h.u;
+      for (int i = 0; i < 4; i++) {
+        const float d =
+            sqrtf((float)((h.x - kObs[i][0]) * (h.x - kObs[i][0]) +
+                          (h.y - kObs[i][1]) * (h.y - kObs[i][1])));
+        if (d < min_center_dist) min_center_dist = d;
+      }
     }
 
-    if (h.u > max_u) max_u = h.u;
-    for (int i = 0; i < 4; i++) {
-      const float d = sqrtf((float)((h.x - kObs[i][0]) * (h.x - kObs[i][0]) +
-                                    (h.y - kObs[i][1]) * (h.y - kObs[i][1])));
-      if (d < min_center_dist) min_center_dist = d;
-    }
     if (t % 100 == 0)
       printf("gtick %d pos (%.2f, %.2f) psi %.2f u %.2f psi_d %.2f ye %.3f "
              "active %d\n",

@@ -15,9 +15,11 @@ void ll_init(ll_node* n) {
 
 void ll_pack_x0(const ll_node* n, const ll_measurements* meas,
                 float x0[LL_NX]) {
-  /* reference :206-215; the u == 0 -> 0.001 guard lives in the velocity
-   * callback (:180-182) so it applies to the packed state, not the
-   * telemetry */
+  /* reference :206-215.  The u == 0 -> 0.001 guard lives in the
+   * reference's velocity callback (:180-182), i.e. it rewrites the
+   * MEASUREMENT, so it flows into both the packed state and the e_u
+   * telemetry; ll_tick applies it once at intake, and this guard is
+   * kept (idempotently) for direct callers of the sub-step. */
   float u = meas->u == 0.0f ? 0.001f : meas->u;
   x0[0] = meas->psi;
   x0[1] = sinf(meas->psi);
@@ -55,7 +57,9 @@ void ll_extract(ll_node* n, const float x1[LL_NX], uint32_t status,
   }
   out->t_port = tp;
   out->t_stbd = ts;
-  out->e_u = u_d - meas->u;     /* raw measurement, reference :273-274 */
+  /* e_u uses the (guarded) measurement: the reference guard rewrites
+   * meas.u in velocityCallback, so e_u = u_d - 0.001 when u reads 0 */
+  out->e_u = u_d - meas->u;     /* reference :273-274 */
   out->e_psi = psi_d - meas->psi;
   out->tx = tp + LL_THRUST_C * ts;                  /* reference :284 */
   out->tz = (tp - LL_THRUST_C * ts) * LL_BEAM / 2.0f; /* reference :285 */
@@ -73,6 +77,13 @@ int ll_tick(ll_node* n, nmpc_rt_client* c, uint32_t seq,
   float x1[LL_NX];
   uint32_t status = 0;
   uint16_t out_nu = 0;
+
+  /* u == 0 -> 0.001 guard applied ONCE to the measurement (reference
+   * velocityCallback :180-182): both x0 packing and e_u telemetry see
+   * the guarded value, matching the JAX caller convention. */
+  ll_measurements m = *meas;
+  if (m.u == 0.0f) m.u = 0.001f;
+  meas = &m;
 
   ll_pack_x0(n, meas, x0);
   ll_pack_yref(psi_d, u_d, yref);
