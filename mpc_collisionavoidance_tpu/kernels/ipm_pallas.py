@@ -55,15 +55,29 @@ def fused_ipm_lanes(qp, idxbu: Tuple[int, ...], idxbx: Tuple[int, ...],
                     mu0: float = 1.0, interpret: bool = False, static=None):
     """Run the full lane IPM in one kernel. Returns (dx, du, gap, eq_res).
 
-    `qp` is an `ops.ipm_lanes.LaneQP`; shapes as documented there. The
-    lane count L must be a multiple of 128.  `static`, when given, is a
-    dict of NUMPY arrays {Qc, QN, Sc, Rc[, zl, Zl, zu, Zu, lsh, ush]} —
-    required under jit, where the corresponding qp fields are tracers.
+    `qp` is an `ops.ipm_lanes.LaneQP`; shapes as documented there.  Any
+    lane count L >= 1 is accepted: the lane axis is padded internally
+    (edge mode) to a multiple of 128 and sliced back.  `static`, when
+    given, is a dict of NUMPY arrays {Qc, QN, Sc, Rc[, zl, Zl, zu, Zu,
+    lsh, ush]} — required under jit, where the corresponding qp fields
+    are tracers.
     """
     N, nx, nu, L = qp.B.shape[0], qp.A.shape[1], qp.B.shape[2], qp.B.shape[-1]
     nbu, nbx = len(idxbu), len(idxbx)
     nHh, nS = qp.Ch.shape[1], qp.Cs.shape[1]
-    assert L % LANE_BLOCK == 0, f"lane count {L} % {LANE_BLOCK} != 0"
+    Lp = -(-L // LANE_BLOCK) * LANE_BLOCK
+    if Lp != L:
+        from mpc_collisionavoidance_tpu.kernels.riccati_pallas import (
+            pad_lanes)
+        lane_fields = ("A", "B", "c", "dx0", "qx", "qu", "ub_lo", "ub_hi",
+                       "xb_lo", "xb_hi", "Ch", "hh_lo", "hh_hi",
+                       "Cs", "hofs", "slh", "suh")
+        qp = qp._replace(**{f: pad_lanes(getattr(qp, f), Lp)
+                            for f in lane_fields})
+        dx, du, gap, eq_res = fused_ipm_lanes(
+            qp, idxbu, idxbx, iters=iters, tau=tau, sigma=sigma, mu0=mu0,
+            interpret=interpret, static=static)
+        return dx[..., :L], du[..., :L], gap[..., :L], eq_res[..., :L]
     dtype = qp.A.dtype
     f32 = dtype == jnp.float32
     LB = LANE_BLOCK

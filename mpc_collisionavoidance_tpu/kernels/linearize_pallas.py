@@ -79,7 +79,7 @@ def _vmem_request(nx, nu, nh, np_, lane_block=LANE_BLOCK,
 
 
 def _kernel(xs_ref, u_ref, *rest, f, h, dt, integrator_steps, nx, nu, nh,
-            has_p):
+            has_p, f_dep=None, h_dep=None):
     xs = xs_ref[...]                       # (nx, N, Lb)
     u = u_ref[...]                         # (nu, N, Lb)
     N, Lb = xs.shape[1], xs.shape[-1]
@@ -111,29 +111,45 @@ def _kernel(xs_ref, u_ref, *rest, f, h, dt, integrator_steps, nx, nu, nh,
         xu = jnp.concatenate([xs, u], axis=0)
         xn, lin = jax.linearize(F, xu)
         xn_ref[...] = xn
-        # basis tangents via iota compare (no scatter — Mosaic-friendly)
+        # basis tangents via iota compare (no scatter — Mosaic-friendly),
+        # restricted to the coordinates f structurally reads (f_dep):
+        # skipped state columns are EXACT identity columns, skipped
+        # control columns exact zeros (ops/sparsity.py).  Throughput-
+        # neutral here (Mosaic already constant-folds the one-hot
+        # tangents); the win is trace size + the lax path.
         sel = jax.lax.broadcasted_iota(jnp.int32, (nxu, N, Lb), 0)
+        f_deps = set(range(nxu) if f_dep is None else f_dep)
+        selr = jax.lax.broadcasted_iota(jnp.int32, (nx, N, Lb), 0)
         for k in range(nxu):
-            tk = (sel == k).astype(dtype)
-            J_ref[:, k] = lin(tk)          # (nx, N, Lb) full-tile store
+            if k in f_deps:
+                tk = (sel == k).astype(dtype)
+                J_ref[:, k] = lin(tk)      # (nx, N, Lb) full-tile store
+            elif k < nx:
+                J_ref[:, k] = (selr == k).astype(dtype)   # exact e_k
+            else:
+                J_ref[:, k] = jnp.zeros((nx, N, Lb), dtype)
 
         if nh:
             hbar_ref, C_ref = hrefs
             hbar, linh = jax.linearize(lambda xv: h(xv, p), xs)
             hbar_ref[...] = hbar
             selx = jax.lax.broadcasted_iota(jnp.int32, (nx, N, Lb), 0)
+            h_deps = set(range(nx) if h_dep is None else h_dep)
             for k in range(nx):
-                tk = (selx == k).astype(dtype)
-                C_ref[:, k] = linh(tk)     # (nh, N, Lb)
+                if k in h_deps:
+                    tk = (selx == k).astype(dtype)
+                    C_ref[:, k] = linh(tk)     # (nh, N, Lb)
+                else:
+                    C_ref[:, k] = jnp.zeros((nh, N, Lb), dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("f", "h", "dt", "integrator_steps", "nh",
-                     "interpret", "lane_block"))
+                     "interpret", "lane_block", "f_dep", "h_dep"))
 def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
                            integrator_steps=1, nh=0, interpret=False,
-                           lane_block=None):
+                           lane_block=None, f_dep=None, h_dep=None):
     """Fused rollout + Jacobians for one RTI tick.
 
     xs (nx, N, L), ubar (nu, N, L), params (np_, L); `f`/`h` are the
@@ -148,11 +164,19 @@ def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
     nxu = nx + nu
     blk_l = lane_block or LANE_BLOCK
     blk_n = STAGE_BLOCK
-    assert L % blk_l == 0, f"lane count {L} not a multiple of block {blk_l}"
+    # any lane count accepted: pad (edge mode) to a block multiple and
+    # slice back — the B=1 real-time path rides the same kernel
+    Lp = -(-L // blk_l) * blk_l
+    if Lp != L:
+        from mpc_collisionavoidance_tpu.kernels.riccati_pallas import (
+            pad_lanes)
+        xs = pad_lanes(xs, Lp)
+        ubar = pad_lanes(ubar, Lp)
+        params = pad_lanes(params, Lp) if params.ndim else params
     dtype = xs.dtype
     # lanes outer, stages inner: the params block's index map is constant
     # across the inner (stage) axis so Pallas keeps it VMEM-resident
-    grid = (L // blk_l, -(-N // blk_n))
+    grid = (Lp // blk_l, -(-N // blk_n))
 
     def stage_spec(*lead):
         blk = tuple(lead) + (blk_n, blk_l)
@@ -163,7 +187,8 @@ def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
     has_p = np_ > 0
     kernel = functools.partial(_kernel, f=f, h=h, dt=dt,
                                integrator_steps=integrator_steps,
-                               nx=nx, nu=nu, nh=nh, has_p=has_p)
+                               nx=nx, nu=nu, nh=nh, has_p=has_p,
+                               f_dep=f_dep, h_dep=h_dep)
     in_specs = [stage_spec(nx), stage_spec(nu)]
     args = [xs, ubar]
     if has_p:
@@ -171,12 +196,12 @@ def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
                                      memory_space=pltpu.VMEM))
         args.append(params)
     out_specs = [stage_spec(nx), stage_spec(nx, nxu)]
-    out_shape = [jax.ShapeDtypeStruct((nx, N, L), dtype),
-                 jax.ShapeDtypeStruct((nx, nxu, N, L), dtype)]
+    out_shape = [jax.ShapeDtypeStruct((nx, N, Lp), dtype),
+                 jax.ShapeDtypeStruct((nx, nxu, N, Lp), dtype)]
     if nh:
         out_specs += [stage_spec(nh), stage_spec(nh, nx)]
-        out_shape += [jax.ShapeDtypeStruct((nh, N, L), dtype),
-                      jax.ShapeDtypeStruct((nh, nx, N, L), dtype)]
+        out_shape += [jax.ShapeDtypeStruct((nh, N, Lp), dtype),
+                      jax.ShapeDtypeStruct((nh, nx, N, Lp), dtype)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -192,6 +217,9 @@ def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
         xn, J, hbar, C = out
     else:
         xn, J = out
-        hbar = jnp.zeros((0, N, L), dtype)
-        C = jnp.zeros((0, nx, N, L), dtype)
+        hbar = jnp.zeros((0, N, Lp), dtype)
+        C = jnp.zeros((0, nx, N, Lp), dtype)
+    if Lp != L:
+        xn, J, hbar, C = (xn[..., :L], J[..., :L],
+                          hbar[..., :L], C[..., :L])
     return xn, J, hbar, C

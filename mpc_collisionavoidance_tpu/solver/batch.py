@@ -53,12 +53,17 @@ class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax",
                  linearize: str = "lax", condense: int = 1,
-                 centering: str = "fixed"):
+                 centering: str = "fixed", mu0=1.0):
         """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
-        kernel; lane count must be a multiple of 128), "pscan"
+        kernel; any lane count — lanes are padded internally to the
+        128-wide VPU block, so B=1 single-vehicle serving rides the same
+        kernel as fleet batches — THE PRODUCTION BACKEND), "pscan"
         (associative-scan parallel Riccati, O(log N) depth — see
         ops/riccati_pscan), or "fused" (the ENTIRE IPM as one Pallas
-        kernel, kernels/ipm_pallas.py — fastest on TPU).
+        kernel, kernels/ipm_pallas.py — a VALIDATION ARTIFACT and
+        single-executable path, not the production engine: throughput
+        parity with "pallas", fixed-sigma centering only, no partial
+        condensing, ~9 min one-time Mosaic compile; see docs/PERF.md).
 
         `linearize`: "lax" (XLA `jax.linearize` basis passes) or "pallas"
         (kernels/linearize_pallas.py — the whole RK4 rollout + Jacobian
@@ -73,14 +78,18 @@ class LaneRTISolver:
         1 = no condensing.  Must divide N; incompatible with
         riccati="fused".
 
-        `centering`: "fixed" (constant sigma=0.1 barrier reduction) or
+        `centering`: "fixed" (constant sigma=0.1 barrier reduction),
         "adaptive" (per-lane Mehrotra-style sigma from the previous
-        fraction-to-boundary step, ops/ipm_lanes.py).  Measured on v5e at
-        the flagship shape: adaptive reaches the float32 gap floor in 8
-        iterations instead of 10 (178.5k vs 145.5k solves/s at B=512,
-        converged_frac 1.0 both) — see docs/PERF.md.  Applies to the
-        lax/pallas/pscan Riccati paths; the fused whole-IPM kernel bakes
-        fixed sigma."""
+        fraction-to-boundary step — no extra solve, ops/ipm_lanes.py), or
+        "mehrotra" (the FULL predictor-corrector: an affine probe solve
+        per iteration sets sigma=(mu_aff/mu)^3 and adds the second-order
+        correction — 2 Riccati sweeps per iteration, but far fewer
+        iterations on ill-conditioned weights like usv_position_control's
+        1e5 position costs).  Measured on v5e at the flagship shape:
+        adaptive reaches the float32 gap floor in 8 iterations instead of
+        10 (178.5k vs 145.5k solves/s at B=512, converged_frac 1.0 both)
+        — see docs/PERF.md.  Applies to the lax/pallas/pscan Riccati
+        paths; the fused whole-IPM kernel bakes fixed sigma."""
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
@@ -93,12 +102,16 @@ class LaneRTISolver:
             raise ValueError("partial condensing is incompatible with the "
                              "fused whole-IPM kernel (static-cost baking); "
                              "use riccati='lax' or 'pallas'")
-        if centering not in ("fixed", "adaptive"):
+        if centering not in ("fixed", "adaptive", "mehrotra"):
             raise ValueError(f"unknown centering '{centering}'")
-        if centering == "adaptive" and riccati.startswith("fused"):
-            raise ValueError("adaptive centering is not available in the "
-                             "fused whole-IPM kernel (fixed-sigma baking); "
-                             "use riccati='lax' or 'pallas'")
+        if centering != "fixed" and riccati.startswith("fused"):
+            raise ValueError(f"{centering} centering is not available in "
+                             "the fused whole-IPM kernel (fixed-sigma "
+                             "baking); use riccati='lax' or 'pallas'")
+        if isinstance(mu0, str) and riccati.startswith("fused"):
+            raise ValueError("mu0='auto' is not available in the fused "
+                             "whole-IPM kernel (scalar mu0 baking); use "
+                             "riccati='lax' or 'pallas'")
         self.spec = spec
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
@@ -106,6 +119,9 @@ class LaneRTISolver:
         self.linearize = linearize
         self.condense = condense
         self.centering = centering
+        # initial barrier weight: 1.0 (historical) or "auto" (per-lane
+        # gradient-scaled, ops/ipm_lanes.py)
+        self.mu0 = mu0
         m = spec.model
         # static numpy cost blocks / slack weights: the fused IPM kernel
         # bakes these in as immediates (under jit the LaneQP fields are
@@ -201,7 +217,8 @@ class LaneRTISolver:
             xn_k, J_k, hbar_k, C_k = linearize_lanes_pallas(
                 xs, ubar, params, f=m.f, h=m.h, dt=spec.dt,
                 integrator_steps=spec.integrator_steps, nh=m.nh,
-                interpret=self.linearize == "pallas_interpret")
+                interpret=self.linearize == "pallas_interpret",
+                f_dep=m.f_dep, h_dep=m.h_dep)
             J = jnp.transpose(J_k, (2, 0, 1, 3))           # (N, nx, nxu, L)
             x_next = xn_k
             if m.nh:
@@ -220,12 +237,29 @@ class LaneRTISolver:
 
             xu = jnp.concatenate([xs, ubar], axis=0)       # (nxu, N, L)
             x_next, lin = jax.linearize(F, xu)
-            # all nx+nu basis tangents in ONE vmapped pass (the linearized
-            # rollout is traced once; the basis axis becomes a batch axis)
-            basis = jnp.broadcast_to(
-                jnp.eye(nx + nu, dtype=dtype)[:, :, None, None],
-                (nx + nu,) + xu.shape)
-            J = jax.vmap(lin)(basis)                       # (nxu, nx, N, L)
+            # basis tangents in ONE vmapped pass (the linearized rollout
+            # is traced once; the basis axis becomes a batch axis),
+            # restricted to the coordinates f structurally reads: skipped
+            # state columns are EXACT identity columns of the discrete
+            # map, skipped control columns exact zeros (models declare
+            # f_dep; verified vs jacfwd probing in tests/test_sparsity.py)
+            nxu = nx + nu
+            f_dep = m.f_dep
+            if f_dep is None or len(f_dep) == nxu:
+                basis = jnp.broadcast_to(
+                    jnp.eye(nxu, dtype=dtype)[:, :, None, None],
+                    (nxu,) + xu.shape)
+                J = jax.vmap(lin)(basis)                   # (nxu, nx, N, L)
+            else:
+                di = np.asarray(f_dep, dtype=np.int64)
+                basis = jnp.broadcast_to(
+                    jnp.eye(nxu, dtype=dtype)[di][:, :, None, None],
+                    (len(f_dep),) + xu.shape)
+                Jd = jax.vmap(lin)(basis)                  # (nd, nx, N, L)
+                J = jnp.broadcast_to(
+                    jnp.eye(nxu, nx, dtype=dtype)[:, :, None, None],
+                    (nxu, nx) + xu.shape[1:])
+                J = J.at[di].set(Jd)
             J = jnp.transpose(J, (2, 1, 0, 3))             # (N, nx, nxu, L)
         A, Bm = J[:, :, :nx, :], J[:, :, nx:, :]
         c = jnp.moveaxis(x_next - xbar[:, 1:, :], 0, 1)    # (N, nx, L)
@@ -302,10 +336,23 @@ class LaneRTISolver:
                     return m.h(xv, params)
 
                 hbar_l, linh = jax.linearize(H, xs)        # (nh, N, L)
-                basis_x = jnp.broadcast_to(
-                    jnp.eye(nx, dtype=dtype)[:, :, None, None],
-                    (nx,) + xs.shape)
-                C = jax.vmap(linh)(basis_x)                # (nx, nh, N, L)
+                h_dep = m.h_dep
+                if h_dep is None or len(h_dep) == nx:
+                    basis_x = jnp.broadcast_to(
+                        jnp.eye(nx, dtype=dtype)[:, :, None, None],
+                        (nx,) + xs.shape)
+                    C = jax.vmap(linh)(basis_x)            # (nx, nh, N, L)
+                else:
+                    # h reads only h_dep coordinates (e.g. the flagship's
+                    # obstacle distances read only xned/yned): skipped
+                    # columns are exact zeros
+                    di = np.asarray(h_dep, dtype=np.int64)
+                    basis_x = jnp.broadcast_to(
+                        jnp.eye(nx, dtype=dtype)[di][:, :, None, None],
+                        (len(h_dep),) + xs.shape)
+                    Cd = jax.vmap(linh)(basis_x)           # (nd, nh, N, L)
+                    C = jnp.zeros((nx, nh) + xs.shape[1:],
+                                  dtype).at[di].set(Cd)
                 C = jnp.transpose(C, (2, 1, 0, 3))         # (N, nh, nx, L)
                 hbar = jnp.moveaxis(hbar_l, 0, 1)          # (N, nh, L)
             lh_full = (jnp.asarray(m.lh, dtype)[:, None] if lh is None
@@ -374,6 +421,32 @@ class LaneRTISolver:
         )
 
     # ------------------------------------------------------------------
+    def _solve_qp(self, qp: LaneQP):
+        if self.condense > 1:
+            from mpc_collisionavoidance_tpu.ops.condense_partial import (
+                condense_lane_qp, expand_solution)
+            qp_c, idxbu_c, aux = condense_lane_qp(
+                qp, self.condense, self.idxbu, self.idxbx)
+            sol = ipm_solve_lanes(qp_c, idxbu_c, (),
+                                  iters=self.ipm_iters, tol=self.ipm_tol,
+                                  riccati=self.riccati,
+                                  centering=self.centering, mu0=self.mu0)
+            dx_f, du_f = expand_solution(aux, sol.dx, sol.du)
+            return sol._replace(dx=dx_f, du=du_f)
+        return ipm_solve_lanes(qp, self.idxbu, self.idxbx,
+                               iters=self.ipm_iters, tol=self.ipm_tol,
+                               riccati=self.riccati,
+                               fused_static=self._fused_static,
+                               centering=self.centering, mu0=self.mu0)
+
+    def _advance(self, state: LaneState, sol):
+        xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
+        ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
+        new_state = LaneState(xbar=xbar, ubar=ubar)
+        out = LaneOutput(u0=ubar[:, 0, :], x1=xbar[:, 1, :],
+                         gap=sol.gap, status=sol.status)
+        return new_state, out
+
     def step_fn(self, state: LaneState, x0, params,
                 lh: Optional[jnp.ndarray] = None,
                 yref=None, yref_e=None):
@@ -388,26 +461,31 @@ class LaneRTISolver:
         params = jnp.asarray(params, dtype)
         qp = self._build_qp(state, x0, params, lh, yref=yref,
                             yref_e=yref_e)
-        if self.condense > 1:
-            from mpc_collisionavoidance_tpu.ops.condense_partial import (
-                condense_lane_qp, expand_solution)
-            qp_c, idxbu_c, aux = condense_lane_qp(
-                qp, self.condense, self.idxbu, self.idxbx)
-            sol = ipm_solve_lanes(qp_c, idxbu_c, (),
-                                  iters=self.ipm_iters, tol=self.ipm_tol,
-                                  riccati=self.riccati,
-                                  centering=self.centering)
-            dx_f, du_f = expand_solution(aux, sol.dx, sol.du)
-            sol = sol._replace(dx=dx_f, du=du_f)
-        else:
-            sol = ipm_solve_lanes(qp, self.idxbu, self.idxbx,
-                                  iters=self.ipm_iters, tol=self.ipm_tol,
-                                  riccati=self.riccati,
-                                  fused_static=self._fused_static,
-                                  centering=self.centering)
-        xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
-        ubar = state.ubar + jnp.moveaxis(sol.du, 0, 1)     # (nu, N, L)
-        new_state = LaneState(xbar=xbar, ubar=ubar)
-        out = LaneOutput(u0=ubar[:, 0, :], x1=xbar[:, 1, :],
-                         gap=sol.gap, status=sol.status)
-        return new_state, out
+        sol = self._solve_qp(qp)
+        return self._advance(state, sol)
+
+    # ---- RTI preparation/feedback split (lane engine) ----
+    # Same exact-split property as RTISolver.prepare_fn/feedback_fn
+    # (solver/sqp_rti.py:120-163): the measurement enters the lane QP only
+    # through dx0 = x0 - xbar[:, 0, :], so linearization + assembly can
+    # run BEFORE the measurement arrives and the feedback phase pays only
+    # the IPM.  prepare_fn(state) + feedback_fn(state, qp, x0) compose to
+    # exactly step_fn(state, x0) for any x0.
+    def prepare_fn(self, state: LaneState, params,
+                   lh: Optional[jnp.ndarray] = None,
+                   yref=None, yref_e=None) -> LaneQP:
+        """Preparation phase: Gauss-Newton linearization + QP assembly at
+        the warm-start iterate (dx0 placeholder 0)."""
+        dtype = state.xbar.dtype
+        params = jnp.asarray(params, dtype)
+        return self._build_qp(state, state.xbar[:, 0, :], params, lh,
+                              yref=yref, yref_e=yref_e)
+
+    def feedback_fn(self, state: LaneState, qp: LaneQP, x0):
+        """Feedback phase: re-pin the prepared QP at the fresh measurement
+        and solve.  `qp` comes from `prepare_fn` on the SAME state."""
+        dtype = state.xbar.dtype
+        x0 = jnp.asarray(x0, dtype)
+        qp = qp._replace(dx0=x0 - state.xbar[:, 0, :])
+        sol = self._solve_qp(qp)
+        return self._advance(state, sol)

@@ -54,7 +54,8 @@ class RTISolver:
     """
 
     def __init__(self, spec: OCPSpec, ipm_iters: int = 18,
-                 ipm_tol: float = 1e-7, qp_backend: str = "riccati"):
+                 ipm_tol: float = 1e-7, qp_backend: str = "riccati",
+                 centering: str = "fixed", mu0=1.0):
         """qp_backend selects the QP engine, mirroring the reference's
         qp_solver switch (PARTIAL_CONDENSING_HPIPM vs the commented
         FULL_CONDENSING_QPOASES, scripts/usv_guidance_ca1/
@@ -65,15 +66,31 @@ class RTISolver:
         - "dense": full condensing + dense IPM (the qpOASES role) — one
           (N*nu)^2 Cholesky per iteration, an independent engine for
           cross-checks and short horizons.
+
+        `centering`: "fixed" (constant sigma barrier schedule) or
+        "mehrotra" (full predictor-corrector: affine probe + adaptive
+        sigma + second-order correction, 2 Riccati sweeps/iteration —
+        HPIPM's own schedule; converges ill-conditioned weights like
+        usv_position_control's 1e5 position costs in the default
+        iteration budget).  Riccati backend only.
         """
         if qp_backend not in ("riccati", "dense"):
             raise ValueError(f"unknown qp_backend {qp_backend!r}; "
                              "expected 'riccati' or 'dense'")
+        if centering not in ("fixed", "mehrotra"):
+            raise ValueError(f"unknown centering {centering!r}")
+        if centering != "fixed" and qp_backend == "dense":
+            raise ValueError("mehrotra centering is implemented on the "
+                             "riccati backend only")
         self.spec = spec
         self.layout = linearize.make_row_layout(spec)
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.qp_backend = qp_backend
+        self.centering = centering
+        # initial barrier weight: 1.0 (historical) or "auto"
+        # (gradient-scaled, ops/ipm.py) for ill-conditioned weights
+        self.mu0 = mu0
 
     # ---- state management ----
     def init_state(self, x0, dtype=jnp.float32) -> SolverState:
@@ -85,6 +102,12 @@ class RTISolver:
             xbar=jnp.broadcast_to(x0, (N + 1,) + x0.shape),
             ubar=jnp.zeros((N, self.spec.model.nu), dtype),
         )
+
+    def _qp_solve(self, qp):
+        if self.qp_backend == "riccati":
+            return ipm_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol,
+                             centering=self.centering, mu0=self.mu0)
+        return dense_qp_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
 
     # ---- single RTI step (pure function; jit/vmap-able) ----
     def step_fn(self, state: SolverState, x0, params, lh=None,
@@ -102,8 +125,7 @@ class RTISolver:
 
         qp = linearize.build_qp(spec, layout, state.xbar, state.ubar,
                                 x0, yref, yref_e, params, lh)
-        qp_solve = ipm_solve if self.qp_backend == "riccati" else dense_qp_solve
-        sol = qp_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
+        sol = self._qp_solve(qp)
 
         # full RTI primal step (acados SQP_RTI takes the unit step)
         xbar = state.xbar + sol.dx
@@ -152,9 +174,7 @@ class RTISolver:
         dtype = state.xbar.dtype
         x0 = jnp.asarray(x0, dtype)
         qp = qp._replace(dx0=x0 - state.xbar[0])
-        qp_solve = (ipm_solve if self.qp_backend == "riccati"
-                    else dense_qp_solve)
-        sol = qp_solve(qp, iters=self.ipm_iters, tol=self.ipm_tol)
+        sol = self._qp_solve(qp)
         xbar = state.xbar + sol.dx
         ubar = state.ubar + sol.du
         new_state = SolverState(xbar=xbar, ubar=ubar)

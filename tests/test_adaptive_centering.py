@@ -112,6 +112,56 @@ def test_closed_loop_adaptive_lane_engine():
 def test_bad_centering_rejected():
     spec = builders.usv_guidance_ca1(Tf=1.0, N=10)
     with pytest.raises(ValueError, match="centering"):
-        LaneRTISolver(spec, centering="mehrotra")
+        LaneRTISolver(spec, centering="newton-probe")
     with pytest.raises(ValueError, match="fused"):
         LaneRTISolver(spec, centering="adaptive", riccati="fused")
+    with pytest.raises(ValueError, match="fused"):
+        LaneRTISolver(spec, centering="mehrotra", riccati="fused")
+
+
+def test_mehrotra_same_fixed_point():
+    """The full predictor-corrector follows the same central path to the
+    same solution as the fixed schedule (it changes sigma and adds the
+    second-order correction, not the KKT fixed point)."""
+    solver, qp = _flagship_qp()
+    solA = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=60,
+                           tol=1e-10, centering="fixed")
+    solM = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=60,
+                           tol=1e-10, centering="mehrotra")
+    assert np.all(np.asarray(solM.status) == 0)
+    np.testing.assert_allclose(np.asarray(solM.du), np.asarray(solA.du),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(solM.dx), np.asarray(solA.dx),
+                               atol=1e-7)
+
+
+def test_mehrotra_converges_faster_per_iteration():
+    """The affine-probe schedule must reach the fixed schedule's 60-iter
+    answer in far fewer iterations on this QP (the point of paying 2
+    Riccati sweeps per iteration)."""
+    solver, qp = _flagship_qp()
+    gF = np.asarray(ipm_solve_lanes(qp, solver.idxbu, solver.idxbx,
+                                    iters=12, centering="fixed").gap)
+    gM = np.asarray(ipm_solve_lanes(qp, solver.idxbu, solver.idxbx,
+                                    iters=12, centering="mehrotra").gap)
+    assert np.all(gM < np.maximum(gF, 1e-12)), (gF, gM)
+
+
+def test_mehrotra_per_instance_engine():
+    """RTISolver(centering='mehrotra') (the ops/ipm.py path): one RTI tick
+    agrees with the fixed engine at convergence-depth iteration counts."""
+    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+
+    spec = builders.usv_guidance_ca1(Tf=1.0, N=12)
+    sc = scenarios.guidance_ca1_default()
+    x0 = jnp.asarray(sc.x0, jnp.float64)
+    p = jnp.asarray(sc.params, jnp.float64)
+    lh = jnp.asarray(sc.lh, jnp.float64)
+    outs = {}
+    for cent, iters in (("fixed", 60), ("mehrotra", 25)):
+        s = RTISolver(spec, ipm_iters=iters, ipm_tol=1e-10, centering=cent)
+        st = s.init_state(x0, dtype=jnp.float64)
+        _, out = s.step_fn(st, x0, p, lh)
+        assert int(out.status) == 0, cent
+        outs[cent] = np.asarray(out.utraj)
+    np.testing.assert_allclose(outs["mehrotra"], outs["fixed"], atol=1e-7)

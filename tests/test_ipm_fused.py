@@ -96,3 +96,19 @@ def test_fused_ipm_full_hull_nx14():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(fus.status),
                                   np.asarray(ref.status))
+
+
+def test_fused_ipm_ragged_lanes():
+    """The fused whole-IPM kernel accepts any lane count (pads to a
+    128-multiple internally, slices back)."""
+    solver, qp = _flagship_qp(L=5)
+    ref = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=5,
+                          riccati="lax")
+    fus = ipm_solve_lanes(qp, solver.idxbu, solver.idxbx, iters=5,
+                          riccati="fused_interpret",
+                          fused_static=solver._fused_static)
+    assert fus.dx.shape == ref.dx.shape
+    np.testing.assert_allclose(np.asarray(fus.dx), np.asarray(ref.dx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.du), np.asarray(ref.du),
+                               rtol=1e-12, atol=1e-12)

@@ -151,3 +151,24 @@ def test_lane_engine_with_pallas_linearize():
         outs[lin] = np.asarray(out.u0)
     np.testing.assert_allclose(outs["pallas_interpret"], outs["lax"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_ragged_lanes():
+    """L=1 (single vehicle) and L=3: padded internally to one 128-lane
+    block; outputs sliced back to the true lane count."""
+    spec = builders.usv_guidance_ca1(Tf=1.0, N=12)
+    m = spec.model
+    for L in (1, 3):
+        xs, ub, params = _random_traj(spec, N=spec.N, L=L, seed=42 + L)
+        xn, J, hbar, C = linearize_lanes_pallas(
+            xs, ub, params, f=m.f, h=m.h, dt=spec.dt,
+            integrator_steps=spec.integrator_steps, nh=m.nh,
+            interpret=True)
+        xn_r, J_r, hbar_r, C_r = _lax_reference(spec, xs, ub, params)
+        assert xn.shape == xn_r.shape and J.shape == J_r.shape
+        np.testing.assert_allclose(np.asarray(xn), np.asarray(xn_r),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_r),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_r),
+                                   rtol=2e-4, atol=2e-5)

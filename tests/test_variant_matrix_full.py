@@ -23,11 +23,16 @@ from mpc_collisionavoidance_tpu.sim import scenarios
 from mpc_collisionavoidance_tpu.sim.closed_loop import run_closed_loop
 from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
 
+# heavy tier: excluded from the default fast run (pytest.ini)
+pytestmark = pytest.mark.slow
 
-def _run(name, sc, n_steps=None, ipm_iters=18, **builder_kw):
+
+def _run(name, sc, n_steps=None, ipm_iters=18, centering="fixed",
+         mu0=1.0, **builder_kw):
     spec = builders.build(name, **builder_kw)     # builder defaults = §2.4
     m = spec.model
-    solver = RTISolver(spec, ipm_iters=ipm_iters)
+    solver = RTISolver(spec, ipm_iters=ipm_iters, centering=centering,
+                       mu0=mu0)
     params = (jnp.asarray(sc.params, jnp.float64) if np.size(sc.params)
               else jnp.zeros(m.np_))
     lh = jnp.asarray(sc.lh, jnp.float64) if np.size(sc.lh) else None
@@ -68,11 +73,18 @@ def test_full_scale_low_level():
 
 
 def test_full_scale_position_control():
-    """boat reaches (5, 1) (reference usv_position_control, N=20); the
-    1e5 position weights make the QP ill-conditioned enough to need a
-    deeper IPM schedule for the 90% convergence bar."""
+    """boat reaches (5, 1) (reference usv_position_control, N=20).
+
+    The 1e5 position weights make this QP ill-conditioned: the fixed
+    sigma=0.1 schedule at mu0=1 needs ~30 iterations just to GROW the
+    duals to the 1e4-scale active-set multipliers.  The HPIPM-parity
+    schedule — Mehrotra predictor-corrector + gradient-scaled initial
+    barrier (centering='mehrotra', mu0='auto') — clears the 90%
+    convergence bar at the tier-default iteration count (measured 95%
+    vs 64% for fixed@18), with no per-variant iteration override."""
     simX, _, _ = _run("usv_position_control",
-                      scenarios.position_control_default(), ipm_iters=30)
+                      scenarios.position_control_default(),
+                      centering="mehrotra", mu0="auto")
     d = np.hypot(simX[-1, 0] - 5.0, simX[-1, 1] - 1.0)
     assert d < 0.5, f"final distance to target {d:.2f}"
 
