@@ -1,4 +1,4 @@
-"""Real-time serving engine: UDS server around the jitted RTI solver.
+"""Real-time serving engine: UDS/TCP server around the jitted RTI solver.
 
 Plays the role the generated `acados_solve()` + node main loop play in the
 reference (one low-latency solve per 20 Hz tick per vehicle,
@@ -14,7 +14,15 @@ SURVEY.md section 3.1), re-shaped for a device runtime:
 - the asyncio loop is the transport; compute never blocks it for other
   clients while a batch is in flight.
 
+Transports (same frame protocol on both):
+- Unix domain socket (default): same-host clients, lowest overhead.
+- TCP (`host:port` address, e.g. `0.0.0.0:8490`): the cross-machine
+  deployment boundary — the reference's nodes talk networked ROS TCPROS
+  (reference src/nmpc_guidance_ca1.cpp:172-184), so a boat computer can
+  reach a TPU host the same way here.  TCP_NODELAY is set per connection.
+
 Run standalone:  python -m mpc_collisionavoidance_tpu.rt.server /tmp/nmpc.sock
+           or :  python -m mpc_collisionavoidance_tpu.rt.server 0.0.0.0:8490
 """
 
 import asyncio
@@ -104,12 +112,13 @@ class RTServer:
         # RTI preparation/feedback split (acados RTI phase schedule,
         # SURVEY.md section 7 hard part 4): after replying to a tick, the
         # solve thread immediately linearizes at the NEW warm start so the
-        # next request only pays the QP solve. Single-vehicle vmap path
-        # only — a fleet's batched tick already amortizes preparation.
-        # Preparation uses the PREVIOUS tick's obstacle table (the acados
+        # next request only pays the QP solve.  Works on BOTH engines:
+        # per-vehicle prepared QPs on the vmap path, one fleet-wide
+        # prepared LaneQP on the lane path.  Preparation uses the
+        # PREVIOUS tick's obstacle table / references (the acados
         # staleness trade-off: fresh x0, one-tick-old params).
-        self.rti_split = rti_split and engine == "vmap"
-        if self.rti_split:
+        self.rti_split = bool(rti_split)
+        if self.rti_split and engine == "vmap":
             self._prepare1 = jax.jit(self.solver.prepare_fn)
             self._feedback1 = jax.jit(self.solver.feedback_fn)
         self._vehicles: Dict[int, _Vehicle] = {}
@@ -162,6 +171,32 @@ class RTServer:
 
             self._lane_tick = jax.jit(_tick, donate_argnums=(0,))
 
+            # lane-engine RTI split: ONE fleet-wide prepared LaneQP.  The
+            # feedback tick re-pins it at the fresh x0 rows and pays only
+            # the IPM; preparation (linearize + assembly) runs right
+            # after the replies go out.  A lane join (seed) invalidates
+            # the prepared QP — that tick falls back to the full step.
+            self._lane_qp = None
+            if self.rti_split:
+                def _tick_feedback(state, qp, x0_rows):
+                    new_state, outs = self.lane_solver.feedback_fn(
+                        state, qp, x0_rows.T)
+                    out = jnp.concatenate(
+                        [outs.u0, outs.x1,
+                         outs.status[None].astype(jnp.float32)], axis=0)
+                    return new_state, out
+
+                def _tick_prepare(state, packed_pl):
+                    pL = packed_pl[:, :NP].T
+                    lhL = packed_pl[:, NP:NP + NH].T
+                    yL = packed_pl[:, NP + NH:].T
+                    return self.lane_solver.prepare_fn(
+                        state, pL, lhL, yref=yL,
+                        yref_e=yL[:self._yref_e_len])
+
+                self._lane_feedback = jax.jit(_tick_feedback)
+                self._lane_prepare = jax.jit(_tick_prepare)
+
             # single jitted seeder with the lane index as a TRACED scalar:
             # an eager .at[..., lane].set would compile one executable per
             # concrete lane (a multi-second remote compile on every vehicle
@@ -199,7 +234,7 @@ class RTServer:
         # path never hits (measured: a ~3 s surprise compile on tick 0)
         st, out = self._step1(st, jnp.asarray(sc_x0), p, lh, None, None)
         jax.block_until_ready(out.u0)
-        if self.rti_split:
+        if self.rti_split and self.engine == "vmap":
             qp = self._prepare1(st, p, lh)
             _, outf = self._feedback1(st, qp, jnp.asarray(sc_x0))
             jax.block_until_ready(outf.u0)
@@ -218,6 +253,14 @@ class RTServer:
                 # full host fetch, not just a sync: the FIRST device->host
                 # transfer also pays one-time (remote-compile) cost
                 np.asarray(out_l)
+                if self.rti_split:
+                    packed_pl = np.concatenate(
+                        [self._p_rows, self._lh_rows, self._yref_rows],
+                        axis=1)
+                    qp_w = self._lane_prepare(st_l, jnp.asarray(packed_pl))
+                    st_l, out_f = self._lane_feedback(
+                        st_l, qp_w, jnp.asarray(self._x0_rows))
+                    np.asarray(out_f)
 
             self._executor.submit(_prewarm_lane).result()
             self._lane_state = self.lane_solver.init_state(self._x0_rows)
@@ -241,10 +284,35 @@ class RTServer:
         self._executor.submit(self._prewarm).result()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def parse_tcp(path: str):
+        """`host:port` -> (host, port), else None (UDS path).
+
+        The TCP listener mirrors the reference's networked node boundary
+        (ROS TCPROS topics between processes/machines, reference
+        src/nmpc_guidance_ca1.cpp:172-184): a boat computer reaches the
+        TPU host over IP with the exact same frame protocol as UDS."""
+        host, sep, port = path.rpartition(":")
+        if sep and host and port.isdigit():
+            return host, int(port)
+        return None
+
     async def start(self):
-        self._server = await asyncio.start_unix_server(
-            self._handle_client, path=self.path)
+        tcp = self.parse_tcp(self.path)
+        if tcp:
+            self._server = await asyncio.start_server(
+                self._handle_client, host=tcp[0], port=tcp[1])
+        else:
+            self._server = await asyncio.start_unix_server(
+                self._handle_client, path=self.path)
         self._batcher = asyncio.create_task(self._batch_loop())
+
+    @property
+    def bound_port(self) -> Optional[int]:
+        """Listening TCP port (resolves port 0 requests), None for UDS."""
+        if self._server is None or not self.parse_tcp(self.path):
+            return None
+        return self._server.sockets[0].getsockname()[1]
 
     async def stop(self):
         self._batcher.cancel()
@@ -254,7 +322,16 @@ class RTServer:
     # ------------------------------------------------------------------
     async def _handle_client(self, reader: asyncio.StreamReader,
                              writer: asyncio.StreamWriter):
+        import socket as socketlib
         import struct
+
+        # TCP transport: disable Nagle — the 20 Hz request/reply frames
+        # are far smaller than an MSS and coalescing would add ~40 ms
+        sock = writer.get_extra_info("socket")
+        if sock is not None and sock.family in (socketlib.AF_INET,
+                                                socketlib.AF_INET6):
+            sock.setsockopt(socketlib.IPPROTO_TCP,
+                            socketlib.TCP_NODELAY, 1)
 
         vid = self._next_id
         self._next_id += 1
@@ -427,6 +504,7 @@ class RTServer:
         requests update their lane's x0/params rows first, replies read
         their lane's column of the outputs."""
         live = []
+        seeded = False
         # the lock covers lane assignment AND the host row arrays — the
         # event-loop thread parks freed lanes' rows in _release_vehicle
         # under the same lock, so the device snapshot below cannot tear
@@ -441,11 +519,14 @@ class RTServer:
                         continue
                     lane = self._lanes_free.pop()
                     self._lane_of[vid] = lane
-                    # cold lane: seed the warm start from this x0
+                    # cold lane: seed the warm start from this x0; the
+                    # prepared QP was linearized at the PRE-seed state, so
+                    # it no longer matches — this tick runs the full step
                     self._lane_state = self._lane_seed(
                         self._lane_state,
                         jnp.asarray(req.x0, jnp.float32),
                         jnp.int32(lane))
+                    seeded = True
                 self._x0_rows[lane] = req.x0
                 self._p_rows[lane] = req.params
                 self._lh_rows[lane] = req.lh
@@ -454,12 +535,24 @@ class RTServer:
                 live.append((lane, req, fut))
             if not live:
                 return
-            packed = jnp.asarray(np.concatenate(
-                [self._x0_rows, self._p_rows, self._lh_rows,
-                 self._yref_rows], axis=1))
+            use_split = (self.rti_split and self._lane_qp is not None
+                         and not seeded)
+            if use_split:
+                x0_rows = jnp.asarray(self._x0_rows.copy())
+            else:
+                packed = jnp.asarray(np.concatenate(
+                    [self._x0_rows, self._p_rows, self._lh_rows,
+                     self._yref_rows], axis=1))
 
-        new_state, out = self._lane_tick(self._lane_state, packed)
+        if use_split:
+            # feedback phase only: the QP was prepared right after the
+            # previous tick's replies (one-tick-old params/yref, fresh x0)
+            new_state, out = self._lane_feedback(
+                self._lane_state, self._lane_qp, x0_rows)
+        else:
+            new_state, out = self._lane_tick(self._lane_state, packed)
         self._lane_state = new_state
+        self._lane_qp = None
         out = np.asarray(out)             # ONE fetch: (nu + nx + 1, L)
         nu = out.shape[0] - self.nx - 1
         u0 = out[:nu]
@@ -467,6 +560,15 @@ class RTServer:
         status = out[-1].astype(np.int32)
         for lane, req, fut in live:
             self._reply(fut, req, status[lane], u0[:, lane], x1[:, lane])
+
+        if self.rti_split:
+            # preparation phase for the NEXT tick: linearize + assemble at
+            # the fresh warm start while no request is waiting
+            with self._lane_lock:
+                packed_pl = np.concatenate(
+                    [self._p_rows, self._lh_rows, self._yref_rows], axis=1)
+            self._lane_qp = self._lane_prepare(self._lane_state,
+                                               jnp.asarray(packed_pl))
 
     def _req_yref(self, req):
         """Per-request stage references -> solver args (None = builder's)."""
@@ -519,7 +621,9 @@ async def _amain(path: str, warm_all: bool = False, **kw):
 def main(argv=None):
     import argparse
     parser = argparse.ArgumentParser(description="NMPC real-time server")
-    parser.add_argument("socket", nargs="?", default="/tmp/nmpc_rt.sock")
+    parser.add_argument("socket", nargs="?", default="/tmp/nmpc_rt.sock",
+                        help="UDS path, or host:port for a TCP listener "
+                             "(cross-machine deployment; same frames)")
     parser.add_argument("--platform", default=None,
                         help="jax platform to pin (cpu/tpu). Uses "
                              "jax_default_device rather than JAX_PLATFORMS: "
@@ -564,10 +668,11 @@ def main(argv=None):
                              "f32 gap floor in ~8 iters, docs/PERF.md)")
     parser.add_argument("--max-batch", type=int, default=128)
     parser.add_argument("--rti-split", action="store_true",
-                        help="acados-style RTI preparation/feedback split "
-                             "on the single-vehicle path: linearize for the "
-                             "next tick right after replying, so a request "
-                             "only pays the QP solve (vmap engine only)")
+                        help="acados-style RTI preparation/feedback split: "
+                             "linearize for the next tick right after "
+                             "replying, so a request only pays the QP "
+                             "solve (both engines: per-vehicle QPs on "
+                             "vmap, one fleet-wide LaneQP on lane)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_default_device",

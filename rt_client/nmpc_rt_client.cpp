@@ -1,6 +1,9 @@
 /* Implementation of the real-time client (see nmpc_rt_client.h). */
 #include "nmpc_rt_client.h"
 
+#include <netdb.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
 #include <poll.h>
 #include <string.h>
 #include <sys/socket.h>
@@ -8,6 +11,7 @@
 #include <unistd.h>
 
 #include <cerrno>
+#include <cstdio>
 #include <cstdlib>
 
 static_assert(sizeof(nmpc_rt_request) == 136, "request frame layout drift");
@@ -18,18 +22,67 @@ struct nmpc_rt_client {
   int timeout_ms;
 };
 
+/* "host:port" (port all digits) -> TCP, anything else -> UDS path.  The
+ * TCP transport is the cross-machine deployment boundary (the reference's
+ * nodes speak networked ROS TCPROS, src/nmpc_guidance_ca1.cpp:172-184);
+ * frames are identical on both transports. */
+static int addr_is_tcp(const char* spec, char* host, size_t host_cap,
+                       char* port, size_t port_cap) {
+  const char* colon = strrchr(spec, ':');
+  if (!colon || colon == spec || colon[1] == '\0') return 0;
+  for (const char* p = colon + 1; *p; ++p)
+    if (*p < '0' || *p > '9') return 0;
+  size_t hlen = static_cast<size_t>(colon - spec);
+  if (hlen >= host_cap || strlen(colon + 1) >= port_cap) return 0;
+  memcpy(host, spec, hlen);
+  host[hlen] = '\0';
+  snprintf(port, port_cap, "%s", colon + 1);
+  return 1;
+}
+
+static int connect_tcp(const char* host, const char* port) {
+  addrinfo hints;
+  memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  addrinfo* res = nullptr;
+  if (getaddrinfo(host, port, &hints, &res) != 0) return -1;
+  int fd = -1;
+  for (addrinfo* ai = res; ai; ai = ai->ai_next) {
+    fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  if (fd >= 0) {
+    /* 20 Hz request/reply frames are tiny: Nagle coalescing would add
+     * ~40 ms per tick, blowing the real-time budget */
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  }
+  return fd;
+}
+
 extern "C" nmpc_rt_client* nmpc_rt_connect(const char* socket_path,
                                            int timeout_ms) {
-  int fd = socket(AF_UNIX, SOCK_STREAM, 0);
-  if (fd < 0) return nullptr;
-
-  sockaddr_un addr;
-  memset(&addr, 0, sizeof(addr));
-  addr.sun_family = AF_UNIX;
-  strncpy(addr.sun_path, socket_path, sizeof(addr.sun_path) - 1);
-  if (connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
-    close(fd);
-    return nullptr;
+  int fd = -1;
+  char host[256], port[16];
+  if (addr_is_tcp(socket_path, host, sizeof(host), port, sizeof(port))) {
+    fd = connect_tcp(host, port);
+    if (fd < 0) return nullptr;
+  } else {
+    fd = socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    sockaddr_un addr;
+    memset(&addr, 0, sizeof(addr));
+    addr.sun_family = AF_UNIX;
+    strncpy(addr.sun_path, socket_path, sizeof(addr.sun_path) - 1);
+    if (connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+      close(fd);
+      return nullptr;
+    }
   }
   nmpc_rt_client* c =
       static_cast<nmpc_rt_client*>(malloc(sizeof(nmpc_rt_client)));

@@ -54,8 +54,11 @@ typedef struct {
 
 typedef struct nmpc_rt_client nmpc_rt_client;
 
-/* Connect to the serving engine. timeout_ms bounds each solve round trip
- * (the 20 Hz real-time budget is 50 ms). Returns NULL on failure. */
+/* Connect to the serving engine. `socket_path` is either a Unix-domain
+ * socket path (same-host) or "host:port" for TCP (cross-machine — the
+ * reference's networked TCPROS boundary; TCP_NODELAY is set).
+ * timeout_ms bounds each solve round trip (the 20 Hz real-time budget is
+ * 50 ms). Returns NULL on failure. */
 nmpc_rt_client* nmpc_rt_connect(const char* socket_path, int timeout_ms);
 
 /* One blocking solve tick. Fills *resp. Returns 0 on success,

@@ -144,9 +144,14 @@ def test_native_tick_matches_jax_controller(ll_lib, tmp_path):
 
     rng = np.random.default_rng(5)
     T = 40
+    # tick 20 measures u == 0: the guard (reference :180-182) rewrites
+    # the measurement to 0.001, flowing into BOTH x0 and e_u.  The JAX
+    # convention is caller-applied, the C++ node applies it in ll_tick.
+    raw_u = [0.0 if t == 20 else 0.4 + 0.2 * np.sin(t / 5)
+             for t in range(T)]
     script = [LowLevelMeasurements(
         psi=jnp.float32(0.3 * np.sin(t / 7)),
-        u=jnp.float32(0.4 + 0.2 * np.sin(t / 5)),
+        u=jnp.float32(0.001 if raw_u[t] == 0.0 else raw_u[t]),
         v=jnp.float32(0.05 * np.cos(t / 9)),
         r=jnp.float32(0.1 * np.sin(t / 4))) for t in range(T)]
     psi_ds = 0.4 * np.cos(np.arange(T) / 10).astype(np.float32)
@@ -169,13 +174,16 @@ def test_native_tick_matches_jax_controller(ll_lib, tmp_path):
         node = _LLNode()
         ll_lib.ll_init(ctypes.byref(node))
         for t in range(T):
-            meas = _LLMeas(float(script[t].psi), float(script[t].u),
+            meas = _LLMeas(float(script[t].psi), float(raw_u[t]),
                            float(script[t].v), float(script[t].r))
             cmd = _LLCmds()
             rc = ll_lib.ll_tick(ctypes.byref(node), c, t + 1,
                                 ctypes.byref(meas), float(psi_ds[t]),
                                 float(u_ds[t]), ctypes.byref(cmd))
             assert rc == 0, (t, rc)
+            if raw_u[t] == 0.0:
+                # e_u sees the guarded measurement (ADVICE r3)
+                assert abs(cmd.e_u - (u_ds[t] - 0.001)) < 1e-6
             native_thrust.append([cmd.t_port, cmd.t_stbd])
         ll_lib.nmpc_rt_close(c)
     native_thrust = np.asarray(native_thrust)
@@ -184,6 +192,7 @@ def test_native_tick_matches_jax_controller(ll_lib, tmp_path):
     np.testing.assert_allclose(native_thrust, jax_thrust, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_native_cascade_mission(build_dir, tmp_path):  # noqa: F811
     """The native two-node cascade (guidance 20 Hz + low-level 100 Hz +
     honest C++ hull) drives the challenge-0 buoy line: cruise speed

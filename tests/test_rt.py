@@ -59,13 +59,26 @@ class _ServerThread:
         self._loop.run_until_complete(self.server.start())
         self._loop.run_forever()
 
+    @property
+    def address(self) -> str:
+        port = self.server.bound_port
+        if port is not None:
+            host = self.server.parse_tcp(self.server.path)[0]
+            return f"{host}:{port}"
+        return self.server.path
+
     def __enter__(self):
         self.server.warmup()
         self._thread.start()
         deadline = time.time() + 10
-        while not Path(self.server.path).exists():
-            assert time.time() < deadline, "server socket never appeared"
-            time.sleep(0.05)
+        if self.server.parse_tcp(self.server.path):
+            while self.server.bound_port is None:
+                assert time.time() < deadline, "TCP listener never bound"
+                time.sleep(0.05)
+        else:
+            while not Path(self.server.path).exists():
+                assert time.time() < deadline, "server socket never appeared"
+                time.sleep(0.05)
         return self
 
     def __exit__(self, *exc):
@@ -464,3 +477,101 @@ def test_cpp_client_v2_low_level(tmp_path):
     assert "worst_latency_us" in out.stdout
     final_psi = float(out.stdout.rsplit("final_psi", 1)[1].split()[0])
     assert abs(final_psi - 1.0) < 0.1
+
+
+def test_server_lane_rti_split(tmp_path):
+    """Lane-engine --rti-split serving: the prepare+feedback schedule must
+    produce exactly the same closed-loop replies as the single-phase lane
+    server when params are constant (VERDICT r3 item 4: rti-split works
+    with --engine lane)."""
+    import socket as socketlib
+
+    ak = math.pi / 2
+    p = tuple([100.0] * 16)
+    r = tuple([0.0] * 8)
+
+    def run_ticks(sock_path, n):
+        s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        s.connect(str(sock_path))
+        x0 = (0.7, 0.0, -4.0, -ak, -ak, 0.0, 0.0, 0.0)
+        out = []
+        for k in range(n):
+            req = protocol.Request(seq=k, x0=x0, p_obs=p, r_obs=r)
+            s.sendall(protocol.pack_request(req))
+            buf = b""
+            while len(buf) < protocol.RESP_SIZE:
+                buf += s.recv(protocol.RESP_SIZE - len(buf))
+            resp = protocol.unpack_response(buf)
+            assert resp.seq == k
+            out.append((resp.u0, resp.x1, resp.status))
+            x0 = resp.x1
+        s.close()
+        return out
+
+    kw = dict(N=20, Tf=1.0, ipm_iters=6, engine="lane", max_batch=4)
+    with _ServerThread(tmp_path / "a.sock", **kw):
+        ref = run_ticks(tmp_path / "a.sock", 5)
+    with _ServerThread(tmp_path / "b.sock", rti_split=True, **kw):
+        split = run_ticks(tmp_path / "b.sock", 5)
+
+    for k, ((u_a, x_a, st_a), (u_b, x_b, st_b)) in enumerate(zip(ref, split)):
+        assert st_b in (0, 1), (k, st_b)
+        np.testing.assert_allclose(u_b, u_a, rtol=0, atol=1e-6, err_msg=str(k))
+        np.testing.assert_allclose(x_b, x_a, rtol=0, atol=1e-6, err_msg=str(k))
+
+
+def test_server_tcp_transport(tmp_path):
+    """TCP listener (`host:port` address): the cross-machine deployment
+    boundary (the reference's networked TCPROS node graph, reference
+    src/nmpc_guidance_ca1.cpp:172-184).  Same v1 frames as UDS; closed
+    loop over TCP loopback must match a UDS server tick-for-tick."""
+    import socket as socketlib
+
+    ak = math.pi / 2
+    p = tuple([100.0] * 16)
+    r = tuple([0.0] * 8)
+
+    def run_ticks(conn_fn, n):
+        s = conn_fn()
+        x0 = (0.7, 0.0, -4.0, -ak, -ak, 0.0, 0.0, 0.0)
+        out = []
+        for k in range(n):
+            req = protocol.Request(seq=k, x0=x0, p_obs=p, r_obs=r)
+            s.sendall(protocol.pack_request(req))
+            buf = b""
+            while len(buf) < protocol.RESP_SIZE:
+                chunk = s.recv(protocol.RESP_SIZE - len(buf))
+                assert chunk, "server closed connection"
+                buf += chunk
+            resp = protocol.unpack_response(buf)
+            assert resp.seq == k
+            out.append((resp.u0, resp.x1, resp.status))
+            x0 = resp.x1
+        s.close()
+        return out
+
+    with _ServerThread("127.0.0.1:0", N=20, Tf=1.0, ipm_iters=6) as st:
+        port = st.server.bound_port
+        assert port and st.address == f"127.0.0.1:{port}"
+
+        def tcp_conn():
+            s = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+            s.connect(("127.0.0.1", port))
+            s.setsockopt(socketlib.IPPROTO_TCP, socketlib.TCP_NODELAY, 1)
+            return s
+
+        tcp = run_ticks(tcp_conn, 5)
+
+    sock = tmp_path / "uds.sock"
+    with _ServerThread(sock, N=20, Tf=1.0, ipm_iters=6):
+        def uds_conn():
+            s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+            s.connect(str(sock))
+            return s
+
+        uds = run_ticks(uds_conn, 5)
+
+    for (u_t, x_t, st_t), (u_u, x_u, st_u) in zip(tcp, uds):
+        assert st_t in (0, 1)
+        np.testing.assert_allclose(u_t, u_u, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(x_t, x_u, rtol=0, atol=1e-6)
