@@ -142,6 +142,84 @@ def main():
         line["ocp"] = ocp
     if condense != 1:
         line["condense"] = condense
+
+    # ---- single-vehicle latency tier (the boat use-case: ONE vehicle at
+    # 20 Hz, reference src/nmpc_guidance_ca1.cpp:612 — budget 50 ms/tick).
+    # B=1 rides the SAME lane engine + pallas kernels (lanes pad
+    # internally to one 128-wide block, so one vehicle costs the same as
+    # 128).  Two measurements per batch size:
+    #   *_ondevice_ms — K RTI ticks chained in ONE lax.scan dispatch,
+    #     per-tick = call/K; amortizes the host->device dispatch RTT to
+    #     1/K (~1 ms of the dev tunnel's ~30 ms), so this is the number a
+    #     locally-attached TPU controller would see.  p50/p99 over reps.
+    #   *_client_ms — one dispatch + sync per tick: what a remote client
+    #     observes through THIS transport (tunnel-RTT-dominated here).
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        scan_len = int(os.environ.get("BENCH_LAT_SCAN", "25"))
+        reps = int(os.environ.get("BENCH_LAT_REPS", "40"))
+
+        def latency_tier(Bl):
+            sol = LaneRTISolver(spec, ipm_iters=ipm_iters, riccati=riccati,
+                                linearize=linearize, condense=condense,
+                                centering=centering)
+            x0l = np.asarray(x0s[:Bl])
+            st = sol.init_state(x0l)
+            xl = to_lanes(jnp.asarray(x0l, jnp.float32))
+            pl = to_lanes(np.broadcast_to(
+                sc.params, (Bl, m.np_)).astype(np.float32))
+            lhl = to_lanes(np.broadcast_to(
+                sc.lh, (Bl, m.nh)).astype(np.float32))
+
+            def chain(carry, _):
+                s, x = carry
+                s, o = sol.step_fn(s, x, pl, lhl)
+                return (s, o.x1), o.gap
+
+            @jax.jit
+            def run_scan(s, x):
+                (s, x), gaps = jax.lax.scan(chain, (s, x), None,
+                                            length=scan_len)
+                return s, x, gaps
+
+            step = jax.jit(sol.step_fn)
+            # warmup compiles both executables
+            st, out = step(st, xl, pl, lhl)
+            xl = out.x1
+            st, xl, gaps = run_scan(st, xl)
+            float(gaps.sum())
+
+            per_tick = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                st, xl, gaps = run_scan(st, xl)
+                float(gaps.sum())
+                per_tick.append(
+                    (time.perf_counter() - t0) * 1e3 / scan_len)
+            client = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                st, out = step(st, xl, pl, lhl)
+                xl = out.x1
+                float(out.gap.sum())
+                client.append((time.perf_counter() - t0) * 1e3)
+            assert np.all(np.asarray(gaps)[-1] < 1e-4), \
+                f"latency tier B={Bl}: final gaps not converged"
+            return (float(np.percentile(per_tick, 50)),
+                    float(np.percentile(per_tick, 99)),
+                    float(np.percentile(client, 50)),
+                    float(np.percentile(client, 99)))
+
+        for Bl, tag in ((1, "b1"), (8, "b8")):
+            p50, p99, c50, c99 = latency_tier(Bl)
+            line[f"{tag}_ondevice_p50_ms"] = round(p50, 3)
+            line[f"{tag}_ondevice_p99_ms"] = round(p99, 3)
+            line[f"{tag}_client_p50_ms"] = round(c50, 2)
+            line[f"{tag}_client_p99_ms"] = round(c99, 2)
+        if strict:
+            # the real-time gate: one vehicle, on-device, p99 under the
+            # 50 ms @ 20 Hz budget (BASELINE.md latency target)
+            assert line["b1_ondevice_p99_ms"] < 50.0, line
+
     print(json.dumps(line))
 
 
