@@ -59,6 +59,7 @@ def _run(spec, M, x0, params, lh, ticks=3):
     ("usv_pf_ca", (2, 4)),
     ("race_cars_dev", (2, 4)),
 ])
+@pytest.mark.slow
 def test_condensed_matches_full(name, Ms):
     spec = getattr(builders, name)(Tf=0.12, N=12)
     x0, params, lh = _inputs(name, spec)

@@ -8,6 +8,7 @@ SLSQP dense oracle, and the condensing map itself is verified exactly.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,6 +103,7 @@ def test_dense_matches_slsqp_with_active_constraints():
     np.testing.assert_allclose(np.asarray(sol.du), du_d, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_backend_closed_loop_equivalence():
     """RTISolver(qp_backend='dense') ticks must track the riccati backend on
     the flagship OCP (reduced horizon for test speed)."""

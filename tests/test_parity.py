@@ -6,6 +6,7 @@ same OCP.
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from mpc_collisionavoidance_tpu.ocp import builders
@@ -78,6 +79,7 @@ def test_acados_bridge_gates_cleanly():
     assert acados_available() is False
 
 
+@pytest.mark.slow
 def test_full_horizon_kkt_certificate_flagship():
     """N=100 (the TRUE reference horizon) correctness, certified
     independently of engine-vs-engine agreement: the converged float64
@@ -119,6 +121,7 @@ def test_full_horizon_kkt_certificate_flagship():
     assert hmin < 1.8, hmin
 
 
+@pytest.mark.slow
 def test_full_horizon_kkt_certificate_pf_ca():
     """Same full-horizon certificate for the 14-state hull with HARD
     constraint rows (usv_pf_ca at its true Tf=1, N=100)."""

@@ -8,6 +8,9 @@ from mpc_collisionavoidance_tpu.ops.riccati_lanes import (
     LaneLQR, lqr_solve_lanes)
 from mpc_collisionavoidance_tpu.ops.riccati_pscan import lqr_solve_pscan
 
+# heavy tier: excluded from the default fast run (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _random_lqr(N, nx, nu, L, seed=0, dtype=jnp.float64):
     rng = np.random.default_rng(seed)
