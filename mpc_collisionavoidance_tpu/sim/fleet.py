@@ -51,6 +51,7 @@ class FleetLog(NamedTuple):
     psi_d: jnp.ndarray     # (T, B)
     active: jnp.ndarray    # (T, B)
     collision: jnp.ndarray # (T, B)
+    status: jnp.ndarray    # (T, B) per-tick solver status (0 ok)
     final: FleetState
 
 
@@ -124,7 +125,8 @@ class FleetMissionEngine:
                                active=active, solver=solver_state,
                                meas=meas_next)
         log = (jnp.stack([meas.nedx, meas.nedy], axis=-1), frame.ye,
-               psi_d, active, jax.vmap(jnp.any)(slots.collision))
+               psi_d, active, jax.vmap(jnp.any)(slots.collision),
+               out.status)
         return new_state, log
 
     # ------------------------------------------------------------------
@@ -142,7 +144,7 @@ class FleetMissionEngine:
                                 field_valid)
             return st, log
 
-        stN, (pos, ye, psi_d, active, collision) = jax.lax.scan(
+        stN, (pos, ye, psi_d, active, collision, status) = jax.lax.scan(
             tick, state0, None, length=n_steps)
         return FleetLog(pos=pos, ye=ye, psi_d=psi_d, active=active,
-                        collision=collision, final=stN)
+                        collision=collision, status=status, final=stN)
