@@ -146,10 +146,12 @@ def _kernel(xs_ref, u_ref, *rest, f, h, dt, integrator_steps, nx, nu, nh,
 @functools.partial(
     jax.jit,
     static_argnames=("f", "h", "dt", "integrator_steps", "nh",
-                     "interpret", "lane_block", "f_dep", "h_dep"))
+                     "interpret", "lane_block", "f_dep", "h_dep",
+                     "stage_block"))
 def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
                            integrator_steps=1, nh=0, interpret=False,
-                           lane_block=None, f_dep=None, h_dep=None):
+                           lane_block=None, f_dep=None, h_dep=None,
+                           stage_block=None):
     """Fused rollout + Jacobians for one RTI tick.
 
     xs (nx, N, L), ubar (nu, N, L), params (np_, L); `f`/`h` are the
@@ -163,7 +165,7 @@ def linearize_lanes_pallas(xs, ubar, params, *, f, h, dt,
     np_ = params.shape[0] if params.ndim else 0
     nxu = nx + nu
     blk_l = lane_block or LANE_BLOCK
-    blk_n = STAGE_BLOCK
+    blk_n = stage_block or STAGE_BLOCK
     # any lane count accepted: pad (edge mode) to a block multiple and
     # slice back — the B=1 real-time path rides the same kernel
     Lp = -(-L // blk_l) * blk_l

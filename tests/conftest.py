@@ -20,6 +20,17 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# Persistent XLA compilation cache: most of the suite's wall time is
+# repeated CPU jit compiles of near-identical solver programs; caching
+# them across tests AND across runs measured a 3.6x on a representative
+# compile (4.0 s -> 1.1 s second-process load).  The CPU AOT loader
+# prints benign machine-feature warnings (prefer-no-scatter/gather
+# pseudo-features) on load — same-host loads are safe.
+os.makedirs("/tmp/jax_test_compile_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def cpu_devices(n=8):
     return jax.devices("cpu")[:n]

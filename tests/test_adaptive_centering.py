@@ -38,6 +38,7 @@ def _flagship_qp(B=4, N=16, dtype=jnp.float64):
     return solver, qp
 
 
+@pytest.mark.slow
 def test_same_fixed_point_as_fixed_centering():
     """Both schedules follow the same central path to the same solution:
     at high iteration counts dx/du agree to oracle tolerance and every
@@ -119,6 +120,7 @@ def test_bad_centering_rejected():
         LaneRTISolver(spec, centering="mehrotra", riccati="fused")
 
 
+@pytest.mark.slow
 def test_mehrotra_same_fixed_point():
     """The full predictor-corrector follows the same central path to the
     same solution as the fixed schedule (it changes sigma and adds the

@@ -8,6 +8,7 @@ in-process equivalent of its field configuration (SURVEY.md section 3.5).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mpc_collisionavoidance_tpu.guidance import GuidanceController
 from mpc_collisionavoidance_tpu.guidance.low_level import (
@@ -62,6 +63,7 @@ def test_low_level_zero_speed_override():
     assert np.isfinite(float(st.past_t_port))
 
 
+@pytest.mark.slow
 def test_cascade_mission_challenge0():
     """Full two-solver cascade drives the hull through the challenge-0 buoy
     line: speeds up to ~0.7 m/s, tracks the path, avoids the buoys."""

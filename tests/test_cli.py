@@ -1,6 +1,7 @@
 """Experiment CLI: the reference's main.py run experience as one command."""
 
 import json
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -52,6 +53,7 @@ def test_cli_run_uses_variant_reference_defaults(tmp_path):
     assert metrics["finite"] is True
 
 
+@pytest.mark.slow
 def test_cli_race(tmp_path):
     """`race` runs the curved-track race car and saves the track plot."""
     out = _run("race", "--steps", "120", "--platform", "cpu",

@@ -10,6 +10,7 @@ fleet keeps flying when one vehicle's sensor emits garbage.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mpc_collisionavoidance_tpu.ocp import builders
 from mpc_collisionavoidance_tpu.sim import scenarios
@@ -76,6 +77,7 @@ def test_vmap_engine_nan_quarantine():
     assert np.all(np.isfinite(np.asarray(outs.u0)[np.arange(B) != bad]))
 
 
+@pytest.mark.slow
 def test_dense_engine_nan_quarantine():
     """The dense (qpOASES-role) backend flags a NaN-poisoned problem with
     status 2 as well."""

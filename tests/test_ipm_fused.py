@@ -9,6 +9,7 @@ u0 agreement 4e-6 vs the per-iteration pallas backend in float32).
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from mpc_collisionavoidance_tpu.ocp import builders
@@ -68,6 +69,7 @@ def test_fused_backend_through_solver():
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_fused_ipm_full_hull_nx14():
     """Fused kernel on the FULL 14-state hydrodynamic hull (usv_pf_ca:
     nu=2, 4 HARD h rows, state boxes — no soft family): must match the

@@ -62,6 +62,7 @@ def test_lane_matches_reference_engine_ca1(steps):
         np.asarray(stR.xbar), atol=5e-6)
 
 
+@pytest.mark.slow
 def test_lane_matches_reference_engine_pf_ca():
     """nu=2, hard h rows, state boxes — exercises every constraint family."""
     B = 4
@@ -184,6 +185,7 @@ def test_lane_closed_loop_flagship():
         assert dmin > 1.3 - 1e-3, (i, dmin)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("steps", [1, 3])
 def test_lane_matches_reference_engine_race_cars_dev(steps):
     """race_cars_dev: soft state-box rows (idxsbx) + quadratic slack

@@ -15,6 +15,9 @@ from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
 
 from tests.test_ipm import make_qp
 
+# heavy tier: excluded from the default fast run (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("seed", range(30, 42))
 def test_random_qp_engine_independence(seed):

@@ -121,6 +121,7 @@ def test_server_python_client(tmp_path):
 
 @pytest.mark.skipif(shutil.which("cmake") is None or shutil.which("g++") is None,
                     reason="native toolchain unavailable")
+@pytest.mark.slow
 def test_cpp_client_closed_loop(tmp_path):
     """Build the real C++ client + demo and run 60 closed-loop ticks
     against the live server; the demo exits 0 iff every solve succeeded
@@ -276,6 +277,7 @@ def test_server_rti_split(tmp_path):
         np.testing.assert_allclose(x_b, x_a, rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_server_rti_split_mixed_batched_solo(tmp_path):
     """Regression: a batched tick (two vehicles in one window) advances the
     warm starts through _stepB, so any QP prepared before it is linearized
@@ -394,6 +396,7 @@ class _V2Client:
         self.s.close()
 
 
+@pytest.mark.slow
 def test_server_v2_pf_closed_loop(tmp_path):
     """`rt.server --model usv_pf` driven through v2 frames with a wire
     yref (head along the segment at u_d = 0.7): the full 14-state hull
@@ -457,6 +460,7 @@ def test_server_v2_rejects_mismatched_dims_and_v1(tmp_path):
 
 @pytest.mark.skipif(shutil.which("cmake") is None or shutil.which("g++") is None,
                     reason="native toolchain unavailable")
+@pytest.mark.slow
 def test_cpp_client_v2_low_level(tmp_path):
     """Build and run the v2 C++ demo: the inner-loop thrust node served
     generically (runtime dims + wire yref), closed loop to the commanded

@@ -10,6 +10,7 @@ track-width and lateral-acceleration constraints go ACTIVE.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mpc_collisionavoidance_tpu.utils import track as trk
 
@@ -76,6 +77,7 @@ def test_frenet_roundtrip():
     assert np.max(np.abs(np.asarray(a2 - alpha))) < 0.05
 
 
+@pytest.mark.slow
 def test_race_car_curved_track_closed_loop():
     """Full race on the synthetic circuit (N=50, receding progress
     reference): the car completes a lap; the track-width and lateral-
