@@ -207,6 +207,57 @@ def _cmd_bench(_args):
     return 0
 
 
+
+def _cmd_mission(args):
+    """Full flagship mission (waypoints + fake LiDAR field) with the
+    live-safety-marker outputs: JSONL stream and/or animated GIF — the
+    reference's rviz obstacle/safety-band visualization
+    (src/nmpc_guidance_ca1.cpp:378-414), TPU-native."""
+    import jax
+
+    from mpc_collisionavoidance_tpu.guidance import (
+        GuidanceController, Measurements)
+    from mpc_collisionavoidance_tpu.ocp import builders
+    from mpc_collisionavoidance_tpu.sim import mission, scenarios
+    from mpc_collisionavoidance_tpu.utils import viz
+
+    if args.platform:
+        jax.config.update("jax_default_device",
+                          jax.devices(args.platform)[0])
+
+    import numpy as np
+
+    ctrl = GuidanceController(builders.usv_guidance_ca1())
+    if args.challenge == 1:
+        # the AutonomousNavigation course through the 21-buoy field
+        wps, n_wp, field, valid = scenarios.autonav_mission()
+        meas0 = Measurements(u=0.7, v=0.0, nedx=0.0, nedy=0.0, psi=0.0)
+    else:
+        # challenge 0: the straight two-leg line through the 4 big buoys
+        field, valid = scenarios.challenge0_field()
+        wps = np.array([[4.0, -5.0], [4.0, 25.0]])
+        n_wp = 2
+        meas0 = Measurements(u=0.7, v=0.0, nedx=4.0, nedy=-5.0,
+                             psi=np.pi / 2)
+    log = jax.jit(lambda m: mission.run_mission(
+        ctrl, m, wps, n_wp, field, valid, n_steps=args.steps))(meas0)
+
+    frames = viz.frames_from_mission(log, field, valid,
+                                     stride=args.stride)
+    n_coll = sum(f.collision for f in frames)
+    print(json.dumps({"ticks": args.steps, "frames": len(frames),
+                      "collisions": int(n_coll),
+                      "final_pos": [round(float(v), 3)
+                                    for v in log.pos[-1]]}))
+    if args.markers:
+        viz.write_jsonl(frames, args.markers)
+        print(f"marker stream -> {args.markers}")
+    if args.gif:
+        viz.render_animation(frames, args.gif, fps=args.fps)
+        print(f"animation -> {args.gif}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mpc_collisionavoidance_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -232,6 +283,19 @@ def main(argv=None):
     p_race.add_argument("--plots", help="save the track plot to this prefix")
     p_race.add_argument("--platform", help="pin jax platform (cpu/tpu)")
     p_race.set_defaults(fn=_cmd_race)
+
+    p_mis = sub.add_parser(
+        "mission", help="flagship mission with live safety markers "
+                        "(JSONL stream / GIF) — the rviz-marker role")
+    p_mis.add_argument("--steps", type=int, default=600)
+    p_mis.add_argument("--challenge", type=int, default=0, choices=(0, 1))
+    p_mis.add_argument("--stride", type=int, default=2,
+                       help="render every k-th tick")
+    p_mis.add_argument("--markers", help="write the JSONL marker stream here")
+    p_mis.add_argument("--gif", help="render an animated GIF here")
+    p_mis.add_argument("--fps", type=int, default=20)
+    p_mis.add_argument("--platform", help="pin jax platform (cpu/tpu)")
+    p_mis.set_defaults(fn=_cmd_mission)
 
     p_bench = sub.add_parser("bench", help="headline throughput benchmark")
     p_bench.set_defaults(fn=_cmd_bench)

@@ -29,7 +29,7 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 os.makedirs("/tmp/jax_test_compile_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
 
 
 def cpu_devices(n=8):

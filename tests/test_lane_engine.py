@@ -92,6 +92,7 @@ def test_lane_matches_reference_engine_pf_ca():
                                np.asarray(outR.x1), atol=5e-6)
 
 
+@pytest.mark.slow
 def test_lane_runtime_yref_matches_reference_engine():
     """Runtime stage references through the lane engine: shared (ny,) and
     per-lane (ny, L) yref/yref_e must reproduce the per-instance engine

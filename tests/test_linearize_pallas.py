@@ -64,8 +64,10 @@ def _random_traj(spec, N, L, seed=0, dtype=jnp.float64):
 # usv_guidance_ca1: atan2 crab angle + 8 soft distance rows (the flagship);
 # usv_pf_ca: 14-state hull with jnp.where piecewise drag + hard rows;
 # usv_acados: no params, no h rows (exercises the has_p=False branch)
-@pytest.mark.parametrize("name", ["usv_guidance_ca1", "usv_pf_ca",
-                                  "usv_acados"])
+@pytest.mark.parametrize("name", [
+    "usv_guidance_ca1",
+    pytest.param("usv_pf_ca", marks=pytest.mark.slow),
+    "usv_acados"])
 def test_kernel_matches_lax(name):
     spec = getattr(builders, name)(Tf=1.0, N=12)   # 12 % 8 != 0: one
     m = spec.model                                  # masked partial block

@@ -92,7 +92,7 @@ def test_lane_engine_with_pallas_backend():
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("L", [1, 3, 130])
+@pytest.mark.parametrize("L", [1, 130])
 def test_pallas_ragged_lanes(L):
     """Any lane count is accepted: the wrapper pads (edge mode) to a
     block multiple and slices back — the B=1 single-vehicle real-time
