@@ -29,10 +29,14 @@ class SolverConfig:
                                   # rollout+VDE kernel, TPU only)
     qp_backend: str = "riccati"   # instance engine: "riccati" | "dense"
                                   # (full condensing, the qpOASES role)
-    centering: str = "fixed"      # lane engine: "fixed" | "adaptive"
-                                  # (per-lane Mehrotra-style sigma —
-                                  # reaches the f32 gap floor in ~8 IPM
-                                  # iters instead of 10, docs/PERF.md)
+    centering: str = "fixed"      # "fixed" | "adaptive" (lane engine:
+                                  # per-lane sigma heuristic, ~8 IPM
+                                  # iters to the f32 gap floor) |
+                                  # "mehrotra" (both engines: full
+                                  # predictor-corrector + use with
+                                  # mu0="auto" for 1e5-scale weights,
+                                  # docs/PERF.md)
+    mu0: object = 1.0             # initial barrier weight: float | "auto"
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -46,11 +50,16 @@ class SolverConfig:
                 f"unknown linearize backend '{self.linearize}'")
         if self.qp_backend not in ("riccati", "dense"):
             raise ValueError(f"unknown qp_backend '{self.qp_backend}'")
-        if self.centering not in ("fixed", "adaptive"):
+        if self.centering not in ("fixed", "adaptive", "mehrotra"):
             raise ValueError(f"unknown centering '{self.centering}'")
-        if self.centering == "adaptive" and self.riccati.startswith("fused"):
-            raise ValueError("adaptive centering is not available in the "
-                             "fused whole-IPM kernel")
+        if self.centering != "fixed" and self.riccati.startswith("fused"):
+            raise ValueError(f"{self.centering} centering is not available "
+                             "in the fused whole-IPM kernel")
+        if self.centering == "adaptive" and self.engine == "instance":
+            raise ValueError("adaptive centering is lane-engine-only; the "
+                             "instance engine supports fixed/mehrotra")
+        if isinstance(self.mu0, str) and self.mu0 != "auto":
+            raise ValueError(f"unknown mu0 '{self.mu0}' (float or 'auto')")
         if self.engine == "instance" and self.riccati != "lax":
             raise ValueError("pallas riccati requires the lane engine")
         if self.engine == "instance" and self.linearize != "lax":
@@ -98,11 +107,14 @@ class FrameworkConfig:
                                  ipm_tol=self.solver.ipm_tol,
                                  riccati=self.solver.riccati,
                                  linearize=self.solver.linearize,
-                                 centering=self.solver.centering)
+                                 centering=self.solver.centering,
+                                 mu0=self.solver.mu0)
         from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
         return RTISolver(spec, ipm_iters=self.solver.ipm_iters,
                          ipm_tol=self.solver.ipm_tol,
-                         qp_backend=self.solver.qp_backend)
+                         qp_backend=self.solver.qp_backend,
+                         centering=self.solver.centering,
+                         mu0=self.solver.mu0)
 
     # ------------------------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:

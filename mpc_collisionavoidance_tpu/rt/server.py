@@ -662,7 +662,7 @@ def main(argv=None):
                         help="lane-engine linearization backend (pallas = "
                              "fused rollout+VDE kernel, TPU only)")
     parser.add_argument("--centering", default="fixed",
-                        choices=("fixed", "adaptive"),
+                        choices=("fixed", "adaptive", "mehrotra"),
                         help="lane-engine IPM centering schedule (adaptive "
                              "= per-lane Mehrotra-style sigma; reaches the "
                              "f32 gap floor in ~8 iters, docs/PERF.md)")

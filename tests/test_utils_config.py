@@ -136,3 +136,24 @@ def test_config_builder_only_variant():
     lane = FrameworkConfig(model="race_cars_dev", N=10, Tf=0.4).build_solver()
     assert type(lane).__name__ == "LaneRTISolver"
     assert lane.sbx_state_idx  # the soft box rows reached the lane engine
+
+
+def test_config_mehrotra_and_auto_mu0():
+    """Round-4 solver options reach both engines through the config."""
+    import dataclasses
+
+    from mpc_collisionavoidance_tpu.config import FrameworkConfig, SolverConfig
+
+    c = FrameworkConfig(solver=SolverConfig(centering="mehrotra",
+                                            mu0="auto", engine="instance"))
+    s = c.build_solver()
+    assert s.centering == "mehrotra" and s.mu0 == "auto"
+    c = FrameworkConfig(solver=SolverConfig(centering="mehrotra",
+                                            mu0="auto", engine="lane"))
+    s = c.build_solver()
+    assert s.centering == "mehrotra" and s.mu0 == "auto"
+    with pytest.raises(ValueError, match="mu0"):
+        FrameworkConfig(solver=SolverConfig(mu0="bogus"))
+    with pytest.raises(ValueError, match="fused"):
+        FrameworkConfig(solver=SolverConfig(centering="mehrotra",
+                                            riccati="fused"))
