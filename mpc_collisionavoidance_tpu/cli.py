@@ -32,10 +32,10 @@ def _cmd_run(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from mpc_collisionavoidance_tpu.config import FrameworkConfig
+    from mpc_collisionavoidance_tpu.config import (
+        FrameworkConfig, production_engine)
     from mpc_collisionavoidance_tpu.sim import scenarios
     from mpc_collisionavoidance_tpu.sim.closed_loop import run_closed_loop
-    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
     from mpc_collisionavoidance_tpu.utils.profiling import SolveTimer
 
     if args.platform:
@@ -57,10 +57,21 @@ def _cmd_run(args):
                 N = sig.parameters["N"].default
             if Tf is None:
                 Tf = sig.parameters["Tf"].default
-        cfg = FrameworkConfig(model=args.model, N=N or 100, Tf=Tf or 5.0)
+        # no config file -> the single production preset (the same engine
+        # bench.py and the RT server CLI default to; config.py)
+        cfg = FrameworkConfig(model=args.model, N=N or 100, Tf=Tf or 5.0,
+                              solver=production_engine(args.platform))
 
     spec = cfg.build_spec()
-    solver = RTISolver(spec, ipm_iters=cfg.solver.ipm_iters)
+    if cfg.solver.engine == "lane":
+        # production lane engine behind the instance-shaped facade; the
+        # lane path is float32 (the serving dtype)
+        from mpc_collisionavoidance_tpu.solver.batch import LaneSolverAdapter
+        solver = LaneSolverAdapter(cfg.build_solver())
+        run_dtype = jnp.float32
+    else:
+        solver = cfg.build_solver()
+        run_dtype = jnp.float64
 
     # scenario: each variant's true reference experiment (the role of the
     # per-variant scripts/<v>/main.py); model defaults otherwise.
@@ -90,8 +101,13 @@ def _cmd_run(args):
                   else np.zeros((m.np_,)))
         lh = jnp.asarray(sc.lh) if np.size(sc.lh) else None
         if sc.yref is not None:
-            yref = jnp.tile(jnp.asarray(sc.yref, jnp.float64), (spec.N, 1))
-            yref_e = jnp.asarray(sc.yref_e, jnp.float64)
+            if cfg.solver.engine == "lane":
+                # the lane engine broadcasts ONE stage reference (ny,)
+                yref = jnp.asarray(sc.yref, run_dtype)
+            else:
+                yref = jnp.tile(jnp.asarray(sc.yref, run_dtype),
+                                (spec.N, 1))
+            yref_e = jnp.asarray(sc.yref_e, run_dtype)
     else:
         m = spec.model
         x0 = m.x0
@@ -103,7 +119,8 @@ def _cmd_run(args):
         solver, x, p, lh, n_steps=args.steps, err_idx=err_idx,
         yref=yref, yref_e=yref_e,
         transient=min(400, args.steps // 2),
-        metric_norm=max(args.steps - min(400, args.steps // 2), 1)))
+        metric_norm=max(args.steps - min(400, args.steps // 2), 1),
+        dtype=run_dtype))
     timer = SolveTimer(batch=args.steps)
     with timer.tick():   # compile + full run (one device program)
         res = run(jnp.asarray(x0), jnp.asarray(params))
@@ -114,8 +131,12 @@ def _cmd_run(args):
 
     simX = np.asarray(res.simX)
     status = np.asarray(res.status)
+    sv = cfg.solver
     out = {
         "model": cfg.model, "N": cfg.N, "Tf": cfg.Tf, "steps": args.steps,
+        "engine": sv.engine,
+        "schedule": f"{sv.centering}@{sv.ipm_iters}"
+                    + (f"+esc{sv.extra_iters}" if sv.extra_iters else ""),
         "psi_mae": float(res.psi_mae), "ye_mae": float(res.ye_mae),
         "psi_mse": float(res.psi_mse), "ye_mse": float(res.ye_mse),
         "status_ok_rate": float(np.mean(status == 0)),
@@ -227,7 +248,15 @@ def _cmd_mission(args):
 
     import numpy as np
 
-    ctrl = GuidanceController(builders.usv_guidance_ca1())
+    # missions ride the same production engine as bench/server (the
+    # lane engine behind the instance-shaped adapter; config.py)
+    from mpc_collisionavoidance_tpu.config import production_engine
+    from mpc_collisionavoidance_tpu.solver.batch import LaneSolverAdapter
+
+    spec = builders.usv_guidance_ca1()
+    preset = production_engine(args.platform)
+    ctrl = GuidanceController(spec,
+                              solver=LaneSolverAdapter(preset.build(spec)))
     if args.challenge == 1:
         # the AutonomousNavigation course through the 21-buoy field
         wps, n_wp, field, valid = scenarios.autonav_mission()

@@ -37,11 +37,26 @@ class SolverConfig:
                                   # mu0="auto" for 1e5-scale weights,
                                   # docs/PERF.md)
     mu0: object = 1.0             # initial barrier weight: float | "auto"
+    extra_iters: int = 0          # lane engine: stall-escalation budget —
+                                  # extra IPM iterations run ONLY while
+                                  # some lane's gap exceeds stall_tol
+                                  # (ops/ipm_lanes.py); the production
+                                  # schedule's mission-length insurance
+    stall_tol: Optional[float] = None  # escalation gate (None = dtype-
+                                       # aware convergence tolerance)
     dtype: str = "float32"
 
     def __post_init__(self):
         if self.engine not in ("lane", "instance"):
             raise ValueError(f"unknown engine '{self.engine}'")
+        if self.extra_iters < 0:
+            raise ValueError(f"extra_iters must be >= 0")
+        if self.extra_iters and self.engine == "instance":
+            raise ValueError("stall escalation (extra_iters > 0) is "
+                             "lane-engine-only")
+        if self.extra_iters and self.riccati.startswith("fused"):
+            raise ValueError("stall escalation is not available in the "
+                             "fused whole-IPM kernel")
         if self.riccati not in ("lax", "pallas", "pallas_interpret",
                                 "pscan", "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{self.riccati}'")
@@ -67,6 +82,72 @@ class SolverConfig:
         if self.engine == "lane" and self.qp_backend != "riccati":
             raise ValueError("the dense QP backend requires the "
                              "instance engine")
+
+    def build(self, spec):
+        """Instantiate this engine config for an already-built OCPSpec."""
+        if self.engine == "lane":
+            from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
+            return LaneRTISolver(spec, ipm_iters=self.ipm_iters,
+                                 ipm_tol=self.ipm_tol,
+                                 riccati=self.riccati,
+                                 linearize=self.linearize,
+                                 centering=self.centering,
+                                 mu0=self.mu0,
+                                 extra_iters=self.extra_iters,
+                                 stall_tol=self.stall_tol)
+        from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+        return RTISolver(spec, ipm_iters=self.ipm_iters,
+                         ipm_tol=self.ipm_tol,
+                         qp_backend=self.qp_backend,
+                         centering=self.centering,
+                         mu0=self.mu0)
+
+
+def production_engine(platform: Optional[str] = None) -> SolverConfig:
+    """The single production solver preset — bench.py, the RT server CLI
+    defaults, and `cli.py run/mission` all consume THIS function, so a
+    user standing up any surface gets the same engineered engine the
+    headline bench advertises (round-4 VERDICT: three surfaces had three
+    different defaults).
+
+    On TPU: lane engine, fused Pallas Riccati + linearize kernels,
+    per-lane adaptive centering at 8 fixed IPM iterations, plus a
+    stall-escalation budget so the schedule holds its 1e-5 duality-gap
+    health gate at the reference's full 1000-tick mission length
+    (reference scripts/usv_guidance_ca1/main.py:116), not just the bench
+    window — see docs/PERF.md "Mission-length convergence".
+
+    On CPU (dev/test), the same schedule rides the portable lax paths.
+    Explicit CLI flags still override individual fields.
+    """
+    if platform is None:
+        import jax
+        platform = jax.default_backend()
+    on_tpu = platform not in ("cpu", "gpu", "cuda", "rocm")
+    # extra_iters=16: measured at the reference's 1000-tick mission
+    # (benchmarks/bench_mission.py, B=8 f32 lax): adaptive@8 alone leaves
+    # 41% of (tick, lane) solves above the 1e-5 gate once obstacle rows
+    # harden the QPs (ticks ~100-700); +esc10 converges 100% but with the
+    # worst gap at 9.9e-6 (no margin); +esc16 drives every solve under
+    # stall_tol.  stall_tol=3e-6: 3x margin under the 1e-5 health gate —
+    # the default (the 5e-7 f32 status floor) made escalation chase the
+    # floor on EASY ticks too, costing 24% of headline throughput on v5e
+    # (228k -> 174k solves/s) for no gate benefit (docs/PERF.md).
+    # ipm_tol == stall_tol == 3e-6: ONE production tolerance.  The
+    # status-0 gate and the escalation stop target must agree, or
+    # mid-mission solves that escalation deliberately stops at 3e-6
+    # would report status 1 against a 5e-7 gate they were never asked
+    # to meet (observed: status0_frac 0.66 with a split tolerance).
+    return SolverConfig(
+        engine="lane",
+        ipm_iters=8,
+        ipm_tol=3e-6,
+        extra_iters=16,
+        stall_tol=3e-6,
+        riccati="pallas" if on_tpu else "lax",
+        linearize="pallas" if on_tpu else "lax",
+        centering="adaptive",
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,21 +181,7 @@ class FrameworkConfig:
 
     def build_solver(self):
         """Instantiate the configured solver engine for this OCP."""
-        spec = self.build_spec()
-        if self.solver.engine == "lane":
-            from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
-            return LaneRTISolver(spec, ipm_iters=self.solver.ipm_iters,
-                                 ipm_tol=self.solver.ipm_tol,
-                                 riccati=self.solver.riccati,
-                                 linearize=self.solver.linearize,
-                                 centering=self.solver.centering,
-                                 mu0=self.solver.mu0)
-        from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
-        return RTISolver(spec, ipm_iters=self.solver.ipm_iters,
-                         ipm_tol=self.solver.ipm_tol,
-                         qp_backend=self.solver.qp_backend,
-                         centering=self.solver.centering,
-                         mu0=self.solver.mu0)
+        return self.solver.build(self.build_spec())
 
     # ------------------------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:

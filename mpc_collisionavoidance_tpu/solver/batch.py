@@ -53,7 +53,8 @@ class LaneRTISolver:
     def __init__(self, spec: OCPSpec, ipm_iters: int = 12,
                  ipm_tol: float = 1e-7, riccati: str = "lax",
                  linearize: str = "lax", condense: int = 1,
-                 centering: str = "fixed", mu0=1.0):
+                 centering: str = "fixed", mu0=1.0,
+                 extra_iters: int = 0, stall_tol: float = None):
         """`riccati`: "lax" (sequential scan), "pallas" (fused VMEM Riccati
         kernel; any lane count — lanes are padded internally to the
         128-wide VPU block, so B=1 single-vehicle serving rides the same
@@ -89,7 +90,16 @@ class LaneRTISolver:
         adaptive reaches the float32 gap floor in 8 iterations instead of
         10 (178.5k vs 145.5k solves/s at B=512, converged_frac 1.0 both)
         — see docs/PERF.md.  Applies to the lax/pallas/pscan Riccati
-        paths; the fused whole-IPM kernel bakes fixed sigma."""
+        paths; the fused whole-IPM kernel bakes fixed sigma.
+
+        `extra_iters` / `stall_tol`: per-batch STALL ESCALATION — after
+        the fixed `ipm_iters` scan, up to `extra_iters` more IPM
+        iterations run in a `lax.while_loop` while any lane's duality
+        gap exceeds `stall_tol` (default: the dtype-aware convergence
+        tolerance).  This is how the production schedule stays at 8
+        iterations on easy ticks yet survives the reference's 1000-tick
+        mission (scripts/usv_guidance_ca1/main.py:116) where obstacle
+        rows activate and harden the QPs mid-mission (docs/PERF.md)."""
         if riccati not in ("lax", "pallas", "pallas_interpret", "pscan",
                            "fused", "fused_interpret"):
             raise ValueError(f"unknown riccati backend '{riccati}'")
@@ -112,7 +122,13 @@ class LaneRTISolver:
             raise ValueError("mu0='auto' is not available in the fused "
                              "whole-IPM kernel (scalar mu0 baking); use "
                              "riccati='lax' or 'pallas'")
+        if extra_iters and riccati.startswith("fused"):
+            raise ValueError("stall escalation (extra_iters > 0) is not "
+                             "available in the fused whole-IPM kernel; "
+                             "use riccati='lax' or 'pallas'")
         self.spec = spec
+        self.extra_iters = int(extra_iters)
+        self.stall_tol = stall_tol
         self.ipm_iters = ipm_iters
         self.ipm_tol = ipm_tol
         self.riccati = riccati
@@ -430,14 +446,18 @@ class LaneRTISolver:
             sol = ipm_solve_lanes(qp_c, idxbu_c, (),
                                   iters=self.ipm_iters, tol=self.ipm_tol,
                                   riccati=self.riccati,
-                                  centering=self.centering, mu0=self.mu0)
+                                  centering=self.centering, mu0=self.mu0,
+                                  extra_iters=self.extra_iters,
+                                  stall_tol=self.stall_tol)
             dx_f, du_f = expand_solution(aux, sol.dx, sol.du)
             return sol._replace(dx=dx_f, du=du_f)
         return ipm_solve_lanes(qp, self.idxbu, self.idxbx,
                                iters=self.ipm_iters, tol=self.ipm_tol,
                                riccati=self.riccati,
                                fused_static=self._fused_static,
-                               centering=self.centering, mu0=self.mu0)
+                               centering=self.centering, mu0=self.mu0,
+                               extra_iters=self.extra_iters,
+                               stall_tol=self.stall_tol)
 
     def _advance(self, state: LaneState, sol):
         xbar = state.xbar + jnp.moveaxis(sol.dx, 0, 1)     # (nx, N+1, L)
@@ -489,3 +509,39 @@ class LaneRTISolver:
         qp = qp._replace(dx0=x0 - state.xbar[:, 0, :])
         sol = self._solve_qp(qp)
         return self._advance(state, sol)
+
+
+class LaneSolverAdapter:
+    """Instance-shaped facade over a :class:`LaneRTISolver` at lane
+    width 1.
+
+    Single-vehicle surfaces (`cli run`, the guidance controller,
+    `sim/closed_loop.py`) were written against the per-instance
+    `RTISolver` API — unbatched x0 (nx,), outputs u0 (nu,)/x1 (nx,).
+    This adapter lets them ride the production lane engine (pallas
+    kernels, adaptive centering, stall escalation) unchanged: lanes pad
+    internally to one 128-wide block, so one vehicle costs the same as
+    128 (docs/PERF.md).  Per-stage (N, ny) yref is not supported (the
+    lane engine broadcasts one reference across stages); pass the 1-D
+    (ny,) form.
+    """
+
+    def __init__(self, lane_solver: LaneRTISolver):
+        self.lane = lane_solver
+        self.spec = lane_solver.spec
+
+    def init_state(self, x0, dtype=jnp.float32) -> LaneState:
+        return self.lane.init_state(jnp.asarray(x0, dtype)[None, :],
+                                    dtype=dtype)
+
+    def step_fn(self, state: LaneState, x0, params, lh=None,
+                yref=None, yref_e=None):
+        dtype = state.xbar.dtype
+        x0 = jnp.asarray(x0, dtype)[:, None]
+        params = jnp.asarray(params, dtype)[:, None]
+        if lh is not None:
+            lh = jnp.asarray(lh, dtype)[:, None]
+        st, o = self.lane.step_fn(state, x0, params, lh,
+                                  yref=yref, yref_e=yref_e)
+        return st, LaneOutput(u0=o.u0[:, 0], x1=o.x1[:, 0],
+                              gap=o.gap[0], status=o.status[0])

@@ -22,12 +22,20 @@ struct nmpc_rt_client {
   int timeout_ms;
 };
 
-/* "host:port" (port all digits) -> TCP, anything else -> UDS path.  The
- * TCP transport is the cross-machine deployment boundary (the reference's
- * nodes speak networked ROS TCPROS, src/nmpc_guidance_ca1.cpp:172-184);
- * frames are identical on both transports. */
+/* "host:port" (port all digits) or "tcp://host:port" -> TCP, anything
+ * else -> UDS path.  A spec containing '/' is always a filesystem path
+ * (a legit UDS path like /tmp/nmpc:1 must not be misrouted to
+ * getaddrinfo) unless it uses the explicit tcp:// scheme; the Python
+ * server's parse_tcp applies the same rule.  The TCP transport is the
+ * cross-machine deployment boundary (the reference's nodes speak
+ * networked ROS TCPROS, src/nmpc_guidance_ca1.cpp:172-184); frames are
+ * identical on both transports. */
 static int addr_is_tcp(const char* spec, char* host, size_t host_cap,
                        char* port, size_t port_cap) {
+  if (strncmp(spec, "tcp://", 6) == 0)
+    spec += 6;
+  else if (strchr(spec, '/'))
+    return 0;
   const char* colon = strrchr(spec, ':');
   if (!colon || colon == spec || colon[1] == '\0') return 0;
   for (const char* p = colon + 1; *p; ++p)
