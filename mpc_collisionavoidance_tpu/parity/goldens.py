@@ -37,12 +37,26 @@ import numpy as np
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
                           "tests", "goldens")
 
-# variant -> (scenario factory name, ticks, sqp_iters)
+# variant -> (scenario factory name, ticks, sqp_iters).  WHOLE ZOO
+# (round-4 VERDICT item 6): every variant's committed scenario gets a
+# converged-SQP fixture, so a silent physics drift in ANY variant fails
+# a golden, not just a threshold test.  `None` keeps the fixture's
+# original hand-built inputs (committed fixtures must not move);
+# "__race__" is the synthetic-track race car (special-cased below).
 GOLDEN_RUNS = {
     "usv_guidance_ca1": ("guidance_ca1_default", 1000, 10),
     "usv_pf_ca": ("pf_ca_default", 1000, 10),
     "usv_guidance": (None, 600, 10),
     "usv_guidance2": (None, 600, 10),
+    "usv_pf": ("pf_default", 600, 10),
+    "usv_guidance_ca": ("guidance_ca_default", 600, 10),
+    "usv_acados": ("acados_speed_default", 400, 10),
+    "usv_low_level": ("low_level_default", 400, 10),
+    "usv_position_control": ("position_control_default", 400, 10),
+    "usv_guidance3": ("guidance3_default", 600, 10),
+    "usv_guidance4": ("guidance4_default", 400, 10),
+    "usv_guidance5": ("guidance5_default", 400, 10),
+    "race_cars": ("__race__", 400, 10),
 }
 
 # variant -> (ticks, ipm_iters) for the RTI-schedule fixtures; scenario
@@ -51,6 +65,30 @@ GOLDEN_RUNS = {
 RTI_GOLDEN_RUNS = {
     "usv_guidance_ca1": (1000, 18),
     "usv_pf_ca": (1000, 18),
+    "usv_guidance": (400, 18),
+    "usv_guidance2": (400, 18),
+    "usv_pf": (400, 18),
+    "usv_guidance_ca": (400, 18),
+    "usv_acados": (400, 18),
+    "usv_low_level": (400, 18),
+    "usv_position_control": (400, 18),
+    "usv_guidance3": (400, 18),
+    "usv_guidance4": (400, 18),
+    "usv_guidance5": (400, 18),
+    "race_cars": (400, 18),
+}
+
+# per-variant solver options applied to BOTH fixture families — the
+# schedule production actually runs for that variant.
+# usv_position_control's 1e5-scale position weights need the full
+# Mehrotra predictor-corrector + gradient-scaled mu0 (docs/PERF.md
+# "IPM schedules"); everything else uses the engine defaults.
+SOLVER_OPTS = {
+    "usv_position_control": {"centering": "mehrotra", "mu0": "auto"},
+    # HARD h rows (lh=0, far sentinels): fixed@18 converges only 85% of
+    # RTI ticks through the obstacle engagement; the predictor-corrector
+    # holds > 0.95 (the fixture health gate) at the same budget
+    "usv_guidance_ca": {"centering": "mehrotra"},
 }
 
 
@@ -68,6 +106,10 @@ def _scenario_inputs(name, spec, m):
     from mpc_collisionavoidance_tpu.sim import scenarios
 
     factory, _, _ = GOLDEN_RUNS.get(name, (None, None, None))
+    if factory == "__race__":
+        # synthetic-track race car: static inputs only — the receding
+        # progress reference is a per-tick yref_fn (see _race_yref_fn)
+        return np.asarray(m.x0, float), np.zeros(0), None, None, None
     if factory is not None:
         sc = getattr(scenarios, factory)()
         x0 = sc.x0
@@ -103,29 +145,55 @@ def _scenario_inputs(name, spec, m):
     return x0, params, lh, yref, yref_e
 
 
+def _build_spec(name: str):
+    from mpc_collisionavoidance_tpu.ocp import builders
+    if name == "race_cars":
+        from mpc_collisionavoidance_tpu.utils import track as trk
+        return builders.build("race_cars", track=trk.make_synthetic_track())
+    return builders.build(name)
+
+
+def _race_yref_fn(spec):
+    """The reference's receding progress reference: s ramps from the
+    current s0 to s0 + 3 across the horizon each tick (reference
+    scripts/race_cars/main.py:74-83; same as cli.py `race`)."""
+    import jax.numpy as jnp
+    ny, nx, N = spec.cost.ny, spec.model.nx, spec.N
+
+    def yref_fn(x):
+        s0 = x[0]
+        ramp = s0 + 3.0 * jnp.arange(N) / N
+        return (jnp.zeros((N, ny)).at[:, 0].set(ramp),
+                jnp.zeros(nx).at[0].set(s0 + 3.0))
+
+    return yref_fn
+
+
 def compute_golden(name: str, ticks: int, sqp_iters: int = 10) -> GoldenRun:
     """Run the float64 converged-SQP closed loop for `name`."""
     import jax
     assert jax.config.jax_enable_x64, "goldens must be computed in float64"
     import jax.numpy as jnp
 
-    from mpc_collisionavoidance_tpu.ocp import builders
     from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
 
-    spec = builders.build(name)
+    spec = _build_spec(name)
     x0, params, lh, yref, yref_e = _scenario_inputs(name, spec, spec.model)
+    yref_fn = _race_yref_fn(spec) if name == "race_cars" else None
 
-    solver = RTISolver(spec, ipm_iters=30, ipm_tol=1e-10)
+    solver = RTISolver(spec, ipm_iters=30, ipm_tol=1e-10,
+                       **SOLVER_OPTS.get(name, {}))
     st = solver.init_state(jnp.asarray(x0), dtype=jnp.float64)
     params_j = jnp.asarray(params, jnp.float64)
     lh_j = None if lh is None else jnp.asarray(lh, jnp.float64)
 
     def tick(carry, _):
         st, x = carry
+        yref_k, yref_e_k = (yref, yref_e) if yref_fn is None else yref_fn(x)
 
         def sqp_body(s, _):
             s, out = solver.step_fn(s, x, params_j, lh_j,
-                                    yref=yref, yref_e=yref_e)
+                                    yref=yref_k, yref_e=yref_e_k)
             return s, out
 
         st, outs = jax.lax.scan(sqp_body, st, None, length=sqp_iters)
@@ -149,21 +217,23 @@ def compute_golden_rti(name: str, ticks: int,
     assert jax.config.jax_enable_x64, "goldens must be computed in float64"
     import jax.numpy as jnp
 
-    from mpc_collisionavoidance_tpu.ocp import builders
     from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
 
-    spec = builders.build(name)
+    spec = _build_spec(name)
     x0, params, lh, yref, yref_e = _scenario_inputs(name, spec, spec.model)
+    yref_fn = _race_yref_fn(spec) if name == "race_cars" else None
 
-    solver = RTISolver(spec, ipm_iters=ipm_iters)
+    solver = RTISolver(spec, ipm_iters=ipm_iters,
+                       **SOLVER_OPTS.get(name, {}))
     st = solver.init_state(jnp.asarray(x0), dtype=jnp.float64)
     params_j = jnp.asarray(params, jnp.float64)
     lh_j = None if lh is None else jnp.asarray(lh, jnp.float64)
 
     def tick(carry, _):
         st, x = carry
+        yref_k, yref_e_k = (yref, yref_e) if yref_fn is None else yref_fn(x)
         st, out = solver.step_fn(st, x, params_j, lh_j,
-                                 yref=yref, yref_e=yref_e)
+                                 yref=yref_k, yref_e=yref_e_k)
         return (st, out.x1), (x, out.u0, out.status)
 
     (_, _), (simX, simU, status) = jax.jit(
@@ -200,6 +270,13 @@ def main():
     # JAX_PLATFORMS, so pin the default device programmatically (same
     # pattern as tests/conftest.py)
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    # share the test suite's persistent compile cache: 13 variants x 2
+    # schedules is ~26 closed-loop compiles otherwise
+    os.makedirs("/tmp/jax_test_compile_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_test_compile_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
     names = sys.argv[1:] or list(GOLDEN_RUNS)
     for name in names:
         _, ticks, sqp_iters = GOLDEN_RUNS[name]

@@ -59,11 +59,16 @@ class FleetMissionEngine:
     """B vehicles, each with its own waypoints and shared obstacle field."""
 
     def __init__(self, spec: OCPSpec, ipm_iters: int = 10,
-                 riccati: str = "lax", linearize: str = "lax"):
+                 riccati: str = "lax", linearize: str = "lax",
+                 **solver_kw):
+        """Extra `solver_kw` pass through to LaneRTISolver — e.g. the
+        production schedule's centering/extra_iters/ipm_tol
+        (config.production_engine())."""
         assert spec.model.name == "usv_guidance_ca1"
         self.spec = spec
         self.solver = LaneRTISolver(spec, ipm_iters=ipm_iters,
-                                    riccati=riccati, linearize=linearize)
+                                    riccati=riccati, linearize=linearize,
+                                    **solver_kw)
         self._plant = integrators.make_discrete_dynamics(
             spec.model.f, spec.dt, num_steps=4)
 
@@ -97,7 +102,10 @@ class FleetMissionEngine:
         mission, frame = jax.vmap(waypoint_manager, in_axes=(0, 0, 0, 0, 0))(
             mission, waypoints, n_wp, meas.nedx, meas.nedy)
 
-        slots = jax.vmap(obs.perceive, in_axes=(None, None, 0, 0, 0))(
+        # obstacle field either shared, (M, 3), or per-vehicle, (B, M, 3)
+        # (randomized-mission sweeps give every vehicle its own field)
+        f_ax = 0 if obstacle_field.ndim == 3 else None
+        slots = jax.vmap(obs.perceive, in_axes=(f_ax, f_ax, 0, 0, 0))(
             obstacle_field, field_valid, meas.nedx, meas.nedy, meas.psi)
 
         x0 = jax.vmap(GuidanceController._pack_x0)(

@@ -88,3 +88,93 @@ def test_sparse_qp_bitwise_equals_dense(linearize):
         a = np.asarray(getattr(qp_sparse, field))
         b = np.asarray(getattr(qp_dense, field))
         assert np.array_equal(a, b), f"{field} differs (not bitwise-exact)"
+
+
+# ---------------------------------------------------------------------------
+# Trajectory cross-check (round-4 ADVICE): the random-point probe can miss
+# region-gated dependencies (jnp.where branches, saturations, clamped
+# interpolants) whose gate never flips at the probe points.  Here the
+# declared sparsity is checked against DENSE jacfwd Jacobians along a REAL
+# closed-loop trajectory — any dependency active in the model's operating
+# envelope shows up regardless of where its gate sits.
+
+_TRAJ_SCENARIOS = {
+    "usv_guidance_ca1": ("guidance_ca1_default", (3, 2)),
+    "usv_pf_ca": ("pf_ca_default", (0, 6)),        # crosses u=1.25 drag gate
+    "usv_pf": ("pf_default", (0, 6)),
+    "usv_acados": ("acados_speed_default", (0, 0)),
+    "usv_low_level": ("low_level_default", (0, 3)),
+    "usv_position_control": ("position_control_default", (0, 1)),
+    "usv_guidance": ("guidance_default", (2, 7)),
+    "usv_guidance2": ("guidance2_default", (2, 8)),
+    "usv_guidance3": ("guidance3_default", (2, 8)),
+    "usv_guidance4": ("guidance4_default", (3, 2)),
+    "usv_guidance5": ("guidance5_default", (3, 2)),
+    "usv_guidance_ca": ("guidance_ca_default", (3, 2)),
+}
+
+
+def _trajectory_dep_check(name, ticks):
+    import jax
+
+    from mpc_collisionavoidance_tpu.sim.closed_loop import run_closed_loop
+    from mpc_collisionavoidance_tpu.solver.sqp_rti import RTISolver
+
+    spec = builders.build(name)
+    m = spec.model
+    factory, err_idx = _TRAJ_SCENARIOS[name]
+    sc = getattr(scenarios, factory)()
+    params = (jnp.asarray(sc.params, jnp.float64) if np.size(sc.params)
+              else jnp.zeros(m.np_))
+    lh = jnp.asarray(sc.lh) if np.size(sc.lh) else None
+    yref = None if sc.yref is None else jnp.tile(
+        jnp.asarray(sc.yref, jnp.float64), (spec.N, 1))
+    yref_e = None if sc.yref_e is None else jnp.asarray(
+        sc.yref_e, jnp.float64)
+    solver = RTISolver(spec, ipm_iters=12)
+    res = run_closed_loop(solver, jnp.asarray(sc.x0), params, lh,
+                          n_steps=ticks, err_idx=err_idx,
+                          yref=yref, yref_e=yref_e)
+    simX = np.asarray(res.simX)
+    simU = np.asarray(res.simU)
+    assert np.all(np.isfinite(simX)), name
+
+    jac_f = jax.jacfwd(
+        lambda xu, p: jnp.asarray(m.f(xu[:m.nx], xu[m.nx:], p)))
+    dep_f = np.zeros(m.nx + m.nu, bool)
+    if m.nh:
+        jac_h = jax.jacfwd(lambda x, p: jnp.asarray(m.h(x, p)))
+        dep_h = np.zeros(m.nx, bool)
+    for k in range(0, ticks, max(ticks // 8, 1)):
+        xu = jnp.concatenate([jnp.asarray(simX[k], jnp.float64),
+                              jnp.asarray(simU[k], jnp.float64)])
+        dep_f |= np.any(np.asarray(jac_f(xu, params)) != 0.0, axis=0)
+        if m.nh:
+            dep_h |= np.any(np.asarray(
+                jac_h(jnp.asarray(simX[k], jnp.float64), params)) != 0.0,
+                axis=0)
+    missing_f = set(np.where(dep_f)[0]) - set(m.f_dep)
+    assert not missing_f, (
+        f"{name}: f reads {sorted(missing_f)} along its own closed-loop "
+        f"trajectory but f_dep={m.f_dep} does not declare them — the "
+        "sparse linearization would silently corrupt those Jacobian "
+        "columns")
+    if m.nh:
+        missing_h = set(np.where(dep_h)[0]) - set(m.h_dep)
+        assert not missing_h, (
+            f"{name}: h reads {sorted(missing_h)} in its operating "
+            f"envelope but h_dep={m.h_dep} does not declare them")
+
+
+@pytest.mark.parametrize("name", ["usv_guidance_ca1", "usv_pf_ca"])
+def test_trajectory_dependency_cross_check(name):
+    """Fast tier: the flagship + the hull with the piecewise-drag gate."""
+    _trajectory_dep_check(name, ticks=40)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", sorted(set(_TRAJ_SCENARIOS) - {"usv_guidance_ca1",
+                                           "usv_pf_ca"}))
+def test_trajectory_dependency_cross_check_zoo(name):
+    _trajectory_dep_check(name, ticks=60)
