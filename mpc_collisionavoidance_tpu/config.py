@@ -124,25 +124,30 @@ def production_engine(platform: Optional[str] = None) -> SolverConfig:
         import jax
         platform = jax.default_backend()
     on_tpu = platform not in ("cpu", "gpu", "cuda", "rocm")
-    # extra_iters=16: measured at the reference's 1000-tick mission
-    # (benchmarks/bench_mission.py, B=8 f32 lax): adaptive@8 alone leaves
-    # 41% of (tick, lane) solves above the 1e-5 gate once obstacle rows
-    # harden the QPs (ticks ~100-700); +esc10 converges 100% but with the
-    # worst gap at 9.9e-6 (no margin); +esc16 drives every solve under
-    # stall_tol.  stall_tol=3e-6: 3x margin under the 1e-5 health gate —
-    # the default (the 5e-7 f32 status floor) made escalation chase the
-    # floor on EASY ticks too, costing 24% of headline throughput on v5e
-    # (228k -> 174k solves/s) for no gate benefit (docs/PERF.md).
-    # ipm_tol == stall_tol == 3e-6: ONE production tolerance.  The
-    # status-0 gate and the escalation stop target must agree, or
-    # mid-mission solves that escalation deliberately stops at 3e-6
-    # would report status 1 against a 5e-7 gate they were never asked
-    # to meet (observed: status0_frac 0.66 with a split tolerance).
+    # The schedule: adaptive centering, SIX fixed iterations, then stall
+    # escalation — a bounded while_loop of extra iterations that runs
+    # only while some lane's duality gap exceeds the tolerance
+    # (ops/ipm_lanes.py).  Escalation makes the fixed count a FLOOR, not
+    # a correctness knob: total sweeps per tick = max(6, what the worst
+    # lane actually needs to reach tol), so lowering the base from the
+    # historical 8 raised v5e headline throughput 173k -> 208k solves/s
+    # with the mission-length gate untouched (measured sweep: base 5 =
+    # 211k but the cap starts binding at base 4 — worst gap 5.2e-6; 6 is
+    # the robust knee).  extra_iters=24: an unused budget is FREE (the
+    # loop exits on tolerance), so the cap is sized to never bind.
+    #
+    # ipm_tol == stall_tol == 3e-6: ONE production tolerance, 3.3x margin
+    # under bench.py's 1e-5 health gate.  The status-0 gate and the
+    # escalation stop target must agree, or mid-mission solves stopped
+    # at 3e-6 report status 1 against a 5e-7 gate they were never asked
+    # to meet (observed: status0_frac 0.66 with split tolerances).
+    # Chasing the 5e-7 f32 floor instead costs 24% of headline for zero
+    # gate benefit (docs/PERF.md "Mission-length convergence").
     return SolverConfig(
         engine="lane",
-        ipm_iters=8,
+        ipm_iters=6,
         ipm_tol=3e-6,
-        extra_iters=16,
+        extra_iters=24,
         stall_tol=3e-6,
         riccati="pallas" if on_tpu else "lax",
         linearize="pallas" if on_tpu else "lax",

@@ -30,8 +30,10 @@ def test_preset_shape():
         p = production_engine(platform)
         assert p.engine == "lane"
         assert p.centering == "adaptive"
-        assert p.ipm_iters == 8
-        assert p.extra_iters > 0          # mission-length insurance
+        assert p.ipm_iters == 6
+        assert p.extra_iters >= 16        # mission-length insurance
+        # ONE production tolerance: status gate == escalation target
+        assert p.ipm_tol == p.stall_tol == 3e-6
         assert p.riccati == kernel
         assert p.linearize == kernel
 

@@ -101,9 +101,12 @@ def test_randomized_mission_sweep():
     wps, fields, valid, meas0 = _random_missions(rng)
 
     # the production schedule (CPU flavor: lax backends)
-    eng = FleetMissionEngine(builders.usv_guidance_ca1(), ipm_iters=8,
-                             centering="adaptive", extra_iters=16,
-                             ipm_tol=3e-6, stall_tol=3e-6)
+    from mpc_collisionavoidance_tpu.config import production_engine
+    p = production_engine("cpu")
+    eng = FleetMissionEngine(builders.usv_guidance_ca1(),
+                             ipm_iters=p.ipm_iters, centering=p.centering,
+                             extra_iters=p.extra_iters, ipm_tol=p.ipm_tol,
+                             stall_tol=p.stall_tol)
     log = jax.jit(lambda m: eng.run(
         m, wps, np.full(B, N_WP), fields, valid, n_steps=TICKS))(meas0)
 
