@@ -78,6 +78,10 @@ def engine_defaults(preset=None):
         # gate without chasing the 5e-7 f32 floor on easy ticks)
         "stall_tol": float(os.environ["BENCH_STALL_TOL"]) \
             if "BENCH_STALL_TOL" in os.environ else preset.stall_tol,
+        # initial barrier weight (float or "auto")
+        "mu0": (os.environ["BENCH_MU0"] if os.environ.get("BENCH_MU0")
+                == "auto" else float(os.environ["BENCH_MU0"]))
+        if "BENCH_MU0" in os.environ else preset.mu0,
         # partial-condensing group size (HPIPM's knob): 1 = full-resolution
         # QP (measured fastest with the pallas Riccati kernel, docs/PERF.md)
         "condense": int(os.environ.get("BENCH_CONDENSE", "1")),
@@ -411,7 +415,7 @@ def serving_tier(strict: bool, eng: dict):
                       riccati=eng["riccati"], linearize=eng["linearize"],
                       centering=eng["centering"],
                       extra_iters=eng["extra_iters"],
-                      stall_tol=eng["stall_tol"],
+                      stall_tol=eng["stall_tol"], mu0=eng["mu0"],
                       max_batch=128, batch_window_ms=2.0)
     loop = asyncio.new_event_loop()
 

@@ -124,17 +124,24 @@ def production_engine(platform: Optional[str] = None) -> SolverConfig:
         import jax
         platform = jax.default_backend()
     on_tpu = platform not in ("cpu", "gpu", "cuda", "rocm")
-    # The schedule: adaptive centering, SIX fixed iterations, then stall
-    # escalation — a bounded while_loop of extra iterations that runs
-    # only while some lane's duality gap exceeds the tolerance
+    # The schedule: adaptive centering, FOUR fixed iterations, then
+    # stall escalation — a bounded while_loop of extra iterations that
+    # runs only while some lane's duality gap exceeds the tolerance
     # (ops/ipm_lanes.py).  Escalation makes the fixed count a FLOOR, not
-    # a correctness knob: total sweeps per tick = max(6, what the worst
-    # lane actually needs to reach tol), so lowering the base from the
-    # historical 8 raised v5e headline throughput 173k -> 208k solves/s
-    # with the mission-length gate untouched (measured sweep: base 5 =
-    # 211k but the cap starts binding at base 4 — worst gap 5.2e-6; 6 is
-    # the robust knee).  extra_iters=24: an unused budget is FREE (the
-    # loop exits on tolerance), so the cap is sized to never bind.
+    # a correctness knob: total sweeps per tick = max(base, what the
+    # worst lane actually needs to reach tol).  extra_iters=24: an
+    # unused budget is FREE (the loop exits on tolerance), so the cap is
+    # sized to never bind.
+    #
+    # mu0="auto" (gradient-proportional initial barrier, per lane, lower
+    # clip 1e-3): a warm-started RTI QP is near-converged, and
+    # restarting its barrier at 1.0 burns ~2 iterations just walking mu
+    # back down; gradient scaling starts it where the QP actually is
+    # while 1e5-weight cold QPs (usv_position_control) still get a large
+    # mu0.  Measured v5e sweep (full bench gates green at every point,
+    # mission_converged_frac 1.0): base6/mu0=1 = 208k, base4/mu0=1e-3 =
+    # 288.8k, base4/mu0=auto = 286.7k solves/s with whole-mission
+    # throughput 175-178k (vs 134k at mu0=1) — docs/PERF.md.
     #
     # ipm_tol == stall_tol == 3e-6: ONE production tolerance, 3.3x margin
     # under bench.py's 1e-5 health gate.  The status-0 gate and the
@@ -145,10 +152,11 @@ def production_engine(platform: Optional[str] = None) -> SolverConfig:
     # gate benefit (docs/PERF.md "Mission-length convergence").
     return SolverConfig(
         engine="lane",
-        ipm_iters=6,
+        ipm_iters=4,
         ipm_tol=3e-6,
         extra_iters=24,
         stall_tol=3e-6,
+        mu0="auto",
         riccati="pallas" if on_tpu else "lax",
         linearize="pallas" if on_tpu else "lax",
         centering="adaptive",

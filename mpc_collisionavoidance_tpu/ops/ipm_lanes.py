@@ -227,7 +227,15 @@ def ipm_solve_lanes(qp: LaneQP,
             raise ValueError(f"unknown mu0 '{mu0}'")
         g_scale = jnp.maximum(jnp.max(jnp.abs(qp.qx), axis=(0, 1)),
                               jnp.max(jnp.abs(qp.qu), axis=(0, 1)))
-        mu0 = jnp.clip(0.01 * g_scale, 1.0, 1e6)[None, None, :]
+        # lower clip 1e-3 (was 1.0): a warm-started RTI QP has a SMALL
+        # cost gradient, and restarting its barrier at 1.0 burns ~2
+        # iterations just walking mu back down — the production
+        # schedule's single biggest cost (measured on v5e: flat
+        # mu0 1e-3 at base 4 = 288.8k flagship solves/s vs 208k at
+        # mu0 1.0 base 6, identical mission-length convergence;
+        # docs/PERF.md).  Large-weight cold QPs (usv_position_control's
+        # 1e5 costs) still get mu0 ~ 1e3: the clip only floors.
+        mu0 = jnp.clip(0.01 * g_scale, 1e-3, 1e6)[None, None, :]
     all_l = tuple(mu0 / t for t in all_t)
 
     def body(carry, _):

@@ -658,7 +658,7 @@ class RTServer:
 
 def resolve_engine_args(engine=None, riccati=None, linearize=None,
                         centering=None, ipm_iters=None, extra_iters=None,
-                        mu0="1.0", stall_tol=None, ipm_tol=None,
+                        mu0=None, stall_tol=None, ipm_tol=None,
                         platform=None):
     """Resolve unset server CLI engine flags to the single production
     preset (config.production_engine()) — the same engine bench.py and
@@ -684,7 +684,8 @@ def resolve_engine_args(engine=None, riccati=None, linearize=None,
         "extra_iters": (extra_iters if extra_iters is not None
                         else (preset.extra_iters if engine == "lane"
                               else 0)),
-        "mu0": mu0 if mu0 == "auto" else float(mu0),
+        "mu0": (preset.mu0 if mu0 is None
+                else mu0 if mu0 == "auto" else float(mu0)),
         "stall_tol": (stall_tol if stall_tol is not None
                       else preset.stall_tol),
         "ipm_tol": ipm_tol if ipm_tol is not None else preset.ipm_tol,
@@ -768,7 +769,7 @@ def main(argv=None):
                         help="escalation gate: extra iterations run only "
                              "while some lane's duality gap exceeds this "
                              "(default: the production preset's 3e-6)")
-    parser.add_argument("--mu0", default="1.0",
+    parser.add_argument("--mu0", default=None,
                         help="initial barrier weight: a float or 'auto' "
                              "(per-lane gradient-scaled; pair with "
                              "--centering mehrotra for 1e5-scale weights "

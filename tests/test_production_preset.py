@@ -30,10 +30,12 @@ def test_preset_shape():
         p = production_engine(platform)
         assert p.engine == "lane"
         assert p.centering == "adaptive"
-        assert p.ipm_iters == 6
+        assert p.ipm_iters == 4
         assert p.extra_iters >= 16        # mission-length insurance
         # ONE production tolerance: status gate == escalation target
         assert p.ipm_tol == p.stall_tol == 3e-6
+        # warm QPs start the barrier where the gradient says, not at 1.0
+        assert p.mu0 == "auto"
         assert p.riccati == kernel
         assert p.linearize == kernel
 
@@ -51,7 +53,7 @@ def test_bench_and_server_resolve_to_preset(monkeypatch):
         s = resolve_engine_args(platform=platform)
         assert s["engine"] == p.engine == "lane"
         for k in ("ipm_iters", "ipm_tol", "centering", "riccati",
-                  "linearize", "extra_iters", "stall_tol"):
+                  "linearize", "extra_iters", "stall_tol", "mu0"):
             assert b[k] == s[k] == getattr(p, k), (platform, k, b[k], s[k])
 
 
